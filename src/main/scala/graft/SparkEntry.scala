@@ -1,13 +1,45 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.ops._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every operator from SURVEY.md §2 that is implemented gets a
+  * `queries` entry; every SQL-expressible one also gets a DuckDB
+  * oracle twin in `oracleSql` (column names aligned on both sides —
+  * the driver sorts columns by name and hash-compares values).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+    Relational.cleanFilter(spark, "/root/testdata/sf0.001")
+
+  /** name -> (builder, oracle SQL or None). Single source of truth. */
+  private[graft] val registry: Vector[(String, (SparkSession, String) => DataFrame, Option[String])] =
+    Vector(
+      ("q01_clean_filter", Relational.cleanFilter _, Some(Relational.cleanFilterSql)),
+      ("q02_pricing_summary", Relational.pricingSummary _, Some(Relational.pricingSummarySql)),
+      ("q03_revenue_join", Relational.revenueJoin _, Some(Relational.revenueJoinSql)),
+      ("q04_contains_semijoin", Relational.containsSemiJoin _, Some(Relational.containsSemiJoinSql)),
+      ("q05_anti_join", Relational.antiJoin _, Some(Relational.antiJoinSql)),
+      ("q06_dedup_first_seen", Relational.dedupFirstSeen _, Some(Relational.dedupFirstSeenSql)),
+      ("q07_window_topk", Relational.windowTopK _, Some(Relational.windowTopKSql)),
+      ("q08_union_distinct", Relational.unionDistinct _, Some(Relational.unionDistinctSql)),
+      ("q16_size_accounting", Relational.sizeAccounting _, Some(Relational.sizeAccountingSql)),
+      ("q17_outcome_counters", Relational.outcomeCounters _, Some(Relational.outcomeCountersSql)),
+      ("q18_date_dimension", Relational.dateDimension _, Some(Relational.dateDimensionSql)),
+      ("q19_asof_join", Relational.asofJoin _, Some(Relational.asofJoinSql)),
+    )
+
+  /** One per implemented operator from SURVEY.md §2. */
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    registry.map { case (n, f, _) => n -> f }.toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    registry.collect { case (n, _, Some(sql)) => n -> sql }.toMap
 }

@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.classic.ClassicConversions
+import org.apache.spark.sql.functions.call_function
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static helper invoked from both interpreted eval and generated code. */
+object StrCount {
+  /** Non-overlapping substring occurrence count — the exact semantics of
+    * Python `str.count` used by the reference's keyword term-frequency
+    * scoring (04_tag_text_contracts.py:118, 07_keyword_tag&filter_tables
+    * .py:130, 09_clean_tables.py:238): "aaaa".count("aa") == 2.
+    * Empty needle => 0 (the reference never calls it with one).
+    * Operates on UTF8String bytes — needle/haystack are well-formed UTF-8
+    * so byte-wise search equals codepoint-wise search.
+    */
+  def count(text: UTF8String, kw: UTF8String): Long = {
+    val n = kw.numBytes()
+    if (n == 0) return 0L
+    val hay = text.getBytes
+    val needle = kw.getBytes
+    var i = 0
+    var c = 0L
+    val limit = hay.length - n
+    while (i <= limit) {
+      var j = 0
+      while (j < n && hay(i + j) == needle(j)) j += 1
+      if (j == n) { c += 1; i += n } else i += 1
+    }
+    c
+  }
+}
+
+/** Catalyst expression for non-overlapping substring counting.
+  *
+  * A native `Expression` (not a Scala UDF) so it participates in
+  * whole-stage codegen: the generated code calls the static
+  * [[StrCount.count]] with no boxing, no serialization, and no codegen
+  * fallback — this sits in the hot path of the term-frequency operator
+  * (SURVEY.md §2.4 A1) which at 100 TB runs once per (document ×
+  * keyword).
+  */
+case class CountOccurrences(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(text: Any, kw: Any): Any =
+    StrCount.count(text.asInstanceOf[UTF8String], kw.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (t, k) =>
+      s"${ev.value} = graft.functions.StrCount.count($t, $k);")
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
+object Functions {
+  /** Idempotently register graft's native expressions with a session's
+    * FunctionRegistry (also makes them usable from spark.sql text). */
+  def register(s: SparkSession): Unit = {
+    val registry =
+      ClassicConversions.castToImpl(s).sessionState.functionRegistry
+    registry.createOrReplaceTempFunction(
+      "count_occurrences",
+      exprs => CountOccurrences(exprs(0), exprs(1)),
+      "built-in")
+  }
+
+  /** Column-API surface for [[CountOccurrences]]; requires
+    * [[register]] to have been called on the session. */
+  def countOccurrences(text: Column, kw: Column): Column =
+    call_function("count_occurrences", text, kw)
+}
