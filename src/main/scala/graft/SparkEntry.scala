@@ -28,10 +28,20 @@ object SparkEntry {
       ("q06_dedup_first_seen", Relational.dedupFirstSeen _, Some(Relational.dedupFirstSeenSql)),
       ("q07_window_topk", Relational.windowTopK _, Some(Relational.windowTopKSql)),
       ("q08_union_distinct", Relational.unionDistinct _, Some(Relational.unionDistinctSql)),
+      ("q09_keyword_tf", TextOps.keywordTf _, Some(TextOps.keywordTfSql)),
+      ("q10_category_rollup", TextOps.categoryRollup _, Some(TextOps.categoryRollupSql)),
+      ("q11_wordcount_dict", TextOps.wordcountDictionary _, Some(TextOps.wordcountDictionarySql)),
+      ("q12_doc_rank", TextOps.docRank _, Some(TextOps.docRankSql)),
+      ("q13_subject_extract", TextOps.subjectExtract _, Some(TextOps.subjectExtractSql)),
+      ("q14_natural_sort", TextOps.naturalSort _, Some(TextOps.naturalSortSql)),
       ("q16_size_accounting", Relational.sizeAccounting _, Some(Relational.sizeAccountingSql)),
       ("q17_outcome_counters", Relational.outcomeCounters _, Some(Relational.outcomeCountersSql)),
       ("q18_date_dimension", Relational.dateDimension _, Some(Relational.dateDimensionSql)),
       ("q19_asof_join", Relational.asofJoin _, Some(Relational.asofJoinSql)),
+      ("q26_lang_id", TextOps.langId _, Some(TextOps.langIdSql)),
+      ("q27_quality_score", TextOps.qualityScore _, Some(TextOps.qualityScoreSql)),
+      ("q28_token_count", TextOps.tokenCount _, Some(TextOps.tokenCountSql)),
+      ("q29_fingerprint", TextOps.fingerprint _, Some(TextOps.fingerprintSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -1,0 +1,313 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions
+
+/** Text analytics — the Spark-first re-expression of the reference's
+  * keyword tagging / dictionary mining / subject extraction stages
+  * (SURVEY.md §2.4 A1-A7, §2.7, entry point 2:
+  * 04_tag_text_contracts.py, 05_build_special_dictionary.py,
+  * 08_extract_subject.py) over the `documents` corpus, plus the
+  * text-analysis operators a training-data pipeline needs (language
+  * ID, quality scoring, token counting, fingerprinting).
+  *
+  * Scale notes (100 TB):
+  *  - the keyword taxonomy is a literal broadcast dim (a few dozen
+  *    rows) — the doc×keyword cross join is a BroadcastNestedLoopJoin
+  *    that never shuffles the corpus;
+  *  - term frequency uses the native codegen'd [[graft.functions
+  *    .CountOccurrences]] expression, not a UDF — it stays inside
+  *    WholeStageCodegen;
+  *  - all per-doc metrics are narrow (no shuffle); the only wide ops
+  *    are the final groupBy(word) wordcount and the rollup, both
+  *    map-side-combined hash aggregations.
+  */
+object TextOps {
+
+  /** Keyword taxonomy — the literal analogue of the reference's
+    * keywords.txt (category as first CSV token, SURVEY.md §1.1),
+    * using the synthetic corpus vocabulary.
+    */
+  val keywords: Seq[(String, String)] = Seq(
+    "ops" -> "join", "ops" -> "merge", "ops" -> "sort", "ops" -> "hash",
+    "engine" -> "spark", "engine" -> "stream", "engine" -> "batch",
+    "storage" -> "table", "storage" -> "row", "storage" -> "column")
+
+  private def keywordsSqlValues: String =
+    keywords.map { case (c, k) => s"('$c', '$k')" }.mkString(", ")
+
+  /** Long-form (doc_id, category, keyword, hits) — A1's term frequency
+    * with `str.count` non-overlap semantics (04_tag_text_contracts
+    * .py:98-119), hits unfiltered so rollups see explicit zeros.
+    */
+  private def keywordHits(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Functions.register(s)
+    val kw = keywords.toDF("category", "keyword")
+    Tables.documents(s, dir).select($"doc_id", lower($"text").as("t"))
+      .crossJoin(broadcast(kw))
+      .select($"doc_id", $"category", $"keyword",
+        Functions.countOccurrences($"t", $"keyword").as("hits"))
+  }
+
+  /** q09 — keyword term frequency (A1), positive hits only (the
+    * reference's per-keyword hit columns, kept long-form per
+    * SURVEY.md §1.3). */
+  def keywordTf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    keywordHits(s, dir).where($"hits" > 0)
+  }
+
+  val keywordTfSql: String =
+    s"""SELECT * FROM (
+       |  SELECT doc_id, category, keyword,
+       |    CAST((length(lower(text)) - length(replace(lower(text), keyword, '')))
+       |         // length(keyword) AS BIGINT) AS hits
+       |  FROM documents CROSS JOIN (VALUES $keywordsSqlValues) k(category, keyword)
+       |) WHERE hits > 0""".stripMargin
+
+  /** q10 — category rollup + grand total (A2: per-category sums plus
+    * the Výskyty grand total, 04_tag_text_contracts.py:115-119,
+    * 167-176) as one ROLLUP pass. */
+  def categoryRollup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    keywordHits(s, dir)
+      .rollup($"doc_id", $"category")
+      .agg(sum($"hits").as("total_hits"))
+  }
+
+  val categoryRollupSql: String =
+    s"""SELECT doc_id, category, SUM(hits) AS total_hits FROM (
+       |  SELECT doc_id, category,
+       |    CAST((length(lower(text)) - length(replace(lower(text), keyword, '')))
+       |         // length(keyword) AS BIGINT) AS hits
+       |  FROM documents CROSS JOIN (VALUES $keywordsSqlValues) k(category, keyword)
+       |) GROUP BY ROLLUP(doc_id, category)""".stripMargin
+
+  /** q11 — word-frequency dictionary mining (A4: tokenize, drop
+    * dictionary words, count, HAVING count > threshold, 05_build_
+    * special_dictionary.py:103-141). The "known dictionary" is a
+    * broadcast anti-join (D5), the wordcount a map-side-combined
+    * hash agg. */
+  def wordcountDictionary(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val stop = Seq("the", "a").toDF("w")
+    Tables.documents(s, dir)
+      .select(explode(split(lower($"text"), "[^a-z]+")).as("word"))
+      .where($"word" =!= "")
+      .join(broadcast(stop), $"word" === $"w", "left_anti")
+      .groupBy($"word").agg(count(lit(1)).as("n"))
+      .where($"n" > 5)
+  }
+
+  val wordcountDictionarySql: String =
+    """SELECT word, COUNT(*) AS n FROM (
+      |  SELECT unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |  FROM documents
+      |) WHERE word <> '' AND word NOT IN ('the', 'a')
+      |GROUP BY word HAVING COUNT(*) > 5""".stripMargin
+
+  /** q12 — relevance ranking (O1 + A7: hits desc, char count desc —
+    * 04_tag_text_contracts.py:193-195, with the string-sort quirk
+    * deliberately fixed to numeric, SURVEY.md §7.4.3). The global
+    * row_number is the *export* ranking of a already-aggregated
+    * (one-row-per-doc) frame; at 100 TB the same plan writes sorted
+    * output via range-partitioned orderBy instead of one window
+    * partition. */
+  def docRank(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hits = keywordHits(s, dir)
+      .groupBy($"doc_id").agg(sum($"hits").as("total_hits"))
+    val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
+    val w = Window.orderBy($"total_hits".desc, $"n_chars".desc, $"doc_id")
+    hits.join(docs, "doc_id")
+      .withColumn("rank", row_number().over(w))
+      .select($"doc_id", $"total_hits", $"n_chars", $"rank")
+  }
+
+  val docRankSql: String =
+    s"""SELECT doc_id, total_hits, n_chars,
+       |  ROW_NUMBER() OVER (ORDER BY total_hits DESC, n_chars DESC, doc_id)
+       |    AS rank
+       |FROM (
+       |  SELECT doc_id, SUM(hits) AS total_hits FROM (
+       |    SELECT doc_id,
+       |      CAST((length(lower(text)) - length(replace(lower(text), keyword, '')))
+       |           // length(keyword) AS BIGINT) AS hits
+       |    FROM documents CROSS JOIN (VALUES $keywordsSqlValues) k(category, keyword)
+       |  ) GROUP BY doc_id
+       |) h JOIN (SELECT doc_id, n_chars FROM documents) d USING (doc_id)"""
+      .stripMargin
+
+  /** q13 — subject extraction (08_extract_subject.py:42-56 / O6/F5/F7:
+    * find the heading, take a capped snippet after it). */
+  def subjectExtract(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("pos", locate("order", $"text").cast("long"))
+      .where($"pos" > 0)
+      .select($"doc_id", $"pos",
+        expr("substring(text, pos, 120)").as("snippet"))
+  }
+
+  val subjectExtractSql: String =
+    """SELECT doc_id, CAST(strpos(text, 'order') AS BIGINT) AS pos,
+      |       substr(text, strpos(text, 'order'), 120) AS snippet
+      |FROM documents WHERE strpos(text, 'order') > 0""".stripMargin
+
+  /** q14 — natural (alphanumeric) sort (O3: digit-run aware filename
+    * ordering, 04_convert_contracts_to_text.py:51-54): 'src2' sorts
+    * before 'src10'. */
+  def naturalSort(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.orderBy($"src_num", $"source")
+    Tables.documents(s, dir).select($"source").distinct()
+      .withColumn("src_num",
+        regexp_extract($"source", "([0-9]+)", 1).cast("long"))
+      .withColumn("natural_rank", row_number().over(w))
+  }
+
+  val naturalSortSql: String =
+    """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+      |         AS src_num,
+      |       ROW_NUMBER() OVER (
+      |         ORDER BY CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+      |                  source) AS natural_rank
+      |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
+
+  /** q26 — language identification by profile-token scoring (the
+    * n-gram heuristic of an LLM ingest pipeline; machinery of A1).
+    * argmax with deterministic (score desc, lang asc) tie-break. */
+  def langId(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Functions.register(s)
+    val profiles = Seq(
+      "en" -> "the", "en" -> "fast", "en" -> "small",
+      "fr" -> "le", "fr" -> "la",
+      "es" -> "el", "es" -> "los",
+      "de" -> "der", "de" -> "und",
+      "zh" -> "zh").toDF("cand_lang", "token")
+    val scored = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", lower($"text").as("t"))
+      .crossJoin(broadcast(profiles))
+      .groupBy($"doc_id", $"lang", $"cand_lang")
+      .agg(sum(Functions.countOccurrences($"t", $"token")).as("score"))
+    val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"cand_lang")
+    scored.withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"doc_id", $"cand_lang".as("pred_lang"), $"lang",
+        ($"cand_lang" === $"lang").as("correct"), $"score")
+  }
+
+  val langIdSql: String = {
+    val profs = Seq(
+      ("en", "the"), ("en", "fast"), ("en", "small"),
+      ("fr", "le"), ("fr", "la"), ("es", "el"), ("es", "los"),
+      ("de", "der"), ("de", "und"), ("zh", "zh"))
+      .map { case (l, t) => s"('$l','$t')" }.mkString(", ")
+    s"""SELECT doc_id, cand_lang AS pred_lang, lang,
+       |       cand_lang = lang AS correct, score FROM (
+       |  SELECT doc_id, lang, cand_lang, score,
+       |    ROW_NUMBER() OVER (PARTITION BY doc_id
+       |      ORDER BY score DESC, cand_lang) AS rn
+       |  FROM (
+       |    SELECT doc_id, lang, cand_lang,
+       |      SUM(CAST((length(lower(text)) -
+       |                length(replace(lower(text), token, '')))
+       |           // length(token) AS BIGINT)) AS score
+       |    FROM documents CROSS JOIN (VALUES $profs) p(cand_lang, token)
+       |    GROUP BY doc_id, lang, cand_lang)
+       |) WHERE rn = 1""".stripMargin
+  }
+
+  /** q27 — document quality scoring (length / stopword-ratio /
+    * word-length heuristics an LLM data pipeline filters on; the
+    * reference's analogue is the spell-ratio dummy-column test
+    * 09_clean_tables.py:193-215). All ratios are a single IEEE
+    * division of identical integer operands → oracle-exact. */
+  def qualityScore(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words", expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
+      .withColumn("n_words", size($"words").cast("long"))
+      .withColumn("n_stop",
+        expr("size(filter(words, w -> w = 'the' OR w = 'a'))").cast("long"))
+      .where($"n_words" > 0)
+      .withColumn("stop_ratio",
+        $"n_stop".cast("double") / $"n_words".cast("double"))
+      .withColumn("n_letters",
+        length(regexp_replace(lower($"text"), "[^a-z]", "")).cast("long"))
+      .withColumn("avg_word_len",
+        $"n_letters".cast("double") / $"n_words".cast("double"))
+      .withColumn("quality",
+        when($"n_words" < 30, "too_short")
+          .when($"stop_ratio" > 0.2, "boilerplate")
+          .otherwise("ok"))
+      .select($"doc_id", $"n_words", $"n_stop", $"stop_ratio",
+        $"avg_word_len", $"quality")
+  }
+
+  val qualityScoreSql: String =
+    """SELECT doc_id, n_words, n_stop,
+      |  CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) AS stop_ratio,
+      |  CAST(n_letters AS DOUBLE) / CAST(n_words AS DOUBLE) AS avg_word_len,
+      |  CASE WHEN n_words < 30 THEN 'too_short'
+      |       WHEN CAST(n_stop AS DOUBLE) / CAST(n_words AS DOUBLE) > 0.2
+      |         THEN 'boilerplate'
+      |       ELSE 'ok' END AS quality
+      |FROM (
+      |  SELECT doc_id,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |         w -> w <> '')) AS BIGINT) AS n_words,
+      |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |         w -> w = 'the' OR w = 'a')) AS BIGINT) AS n_stop,
+      |    CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g'))
+      |         AS BIGINT) AS n_letters
+      |  FROM documents
+      |) WHERE n_words > 0""".stripMargin
+
+  /** q28 — token counting (whitespace tokens + a regex token stream —
+    * the BPE-ish pre-tokenizer count an ingest pipeline budgets by). */
+  def tokenCount(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("ws_tokens",
+        size(split(trim($"text"), " +")).cast("long"))
+      .withColumn("alpha_tokens",
+        size(expr("regexp_extract_all(lower(text), '[a-z]+', 0)")).cast("long"))
+      .select($"doc_id", $"ws_tokens", $"alpha_tokens", $"n_chars")
+  }
+
+  val tokenCountSql: String =
+    """SELECT doc_id,
+      |  CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT) AS ws_tokens,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z]+')) AS BIGINT)
+      |    AS alpha_tokens,
+      |  n_chars
+      |FROM documents""".stripMargin
+
+  /** q29 — document fingerprinting (whitespace-normalized content hash
+    * + a prefix hash; the rolling-hash fingerprint family). */
+  def fingerprint(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("norm",
+        trim(regexp_replace(lower($"text"), "\\s+", " ")))
+      .select($"doc_id",
+        substring(md5($"norm"), 1, 16).as("fp"),
+        substring(md5(substring($"norm", 1, 100)), 1, 16).as("fp_prefix"),
+        length($"norm").cast("long").as("norm_len"))
+  }
+
+  val fingerprintSql: String =
+    """SELECT doc_id,
+      |  substr(md5(norm), 1, 16) AS fp,
+      |  substr(md5(substr(norm, 1, 100)), 1, 16) AS fp_prefix,
+      |  CAST(length(norm) AS BIGINT) AS norm_len
+      |FROM (SELECT doc_id,
+      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |      FROM documents)""".stripMargin
+}
