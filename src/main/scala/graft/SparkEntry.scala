@@ -38,10 +38,17 @@ object SparkEntry {
       ("q17_outcome_counters", Relational.outcomeCounters _, Some(Relational.outcomeCountersSql)),
       ("q18_date_dimension", Relational.dateDimension _, Some(Relational.dateDimensionSql)),
       ("q19_asof_join", Relational.asofJoin _, Some(Relational.asofJoinSql)),
+      ("q20_dedup_exact", DedupOps.dedupExact _, Some(DedupOps.dedupExactSql)),
+      ("q21_minhash_lsh", DedupOps.minhashLsh _, Some(DedupOps.minhashLshSql)),
+      ("q22_simhash", DedupOps.simhash _, Some(DedupOps.simhashSql)),
+      ("q23_ngram_jaccard", DedupOps.ngramJaccard _, Some(DedupOps.ngramJaccardSql)),
+      ("q24_cosine_topk", SimilarityOps.cosineTopK _, Some(SimilarityOps.cosineTopKSql)),
+      ("q25_ann_ivf", SimilarityOps.annIvf _, Some(SimilarityOps.annIvfSql)),
       ("q26_lang_id", TextOps.langId _, Some(TextOps.langIdSql)),
       ("q27_quality_score", TextOps.qualityScore _, Some(TextOps.qualityScoreSql)),
       ("q28_token_count", TextOps.tokenCount _, Some(TextOps.tokenCountSql)),
       ("q29_fingerprint", TextOps.fingerprint _, Some(TextOps.fingerprintSql)),
+      ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -70,6 +70,10 @@ object Functions {
       "count_occurrences",
       exprs => CountOccurrences(exprs(0), exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "vec_dot",
+      exprs => FloatDot(exprs(0), exprs(1)),
+      "built-in")
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

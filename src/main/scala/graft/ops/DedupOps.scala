@@ -1,0 +1,247 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Deduplication operators for a training-data pipeline — exact,
+  * MinHash+LSH, SimHash and n-gram-Jaccard near-dup detection over the
+  * `documents` corpus (BASELINE.json north-star; the reference's own
+  * dedup is the exact first-seen family, SURVEY.md §2.5 D1-D3).
+  *
+  * Scale notes (100 TB):
+  *  - nothing here compares all pairs: MinHash banding and the
+  *    (lang, source) blocking bound candidate generation to hash-equal
+  *    buckets, so the only shuffles are hash-partitioned groupBys and
+  *    equi-joins on (band, key) / (block, gram);
+  *  - signatures are fixed-width aggregates (8 minhashes / 16 simhash
+  *    bits) built in ONE pass with conditional aggregation — no
+  *    iterative driver loop;
+  *  - md5 is used as the permutation family: deterministic across
+  *    engines and executors, no RNG state to coordinate.
+  */
+object DedupOps {
+
+  /** q20 — exact dedup by normalized content hash (D1's identity dedup
+    * at content granularity, 02_filter_by_CIN.py:252-268): canonical id
+    * = first-seen (min doc_id) per hash group. */
+  def dedupExact(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"h")
+    Tables.documents(s, dir)
+      .withColumn("h", md5(trim(lower($"text"))))
+      .withColumn("canonical_id", min($"doc_id").over(w))
+      .withColumn("group_size", count(lit(1)).over(w))
+      .select($"doc_id", $"canonical_id",
+        ($"doc_id" =!= $"canonical_id").as("is_dup"), $"group_size")
+  }
+
+  val dedupExactSql: String =
+    """SELECT doc_id, canonical_id, doc_id <> canonical_id AS is_dup,
+      |       group_size
+      |FROM (
+      |  SELECT doc_id,
+      |    MIN(doc_id) OVER (PARTITION BY h) AS canonical_id,
+      |    COUNT(*) OVER (PARTITION BY h) AS group_size
+      |  FROM (SELECT doc_id, md5(trim(lower(text))) AS h FROM documents))"""
+      .stripMargin
+
+  private val nPerms = 8 // minhash permutations; 2 bands of 4 rows
+
+  /** Distinct char-5-gram shingles per document. */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .where(length($"text") >= 5)
+      .select($"doc_id", lower($"text").as("t"))
+      .select($"doc_id",
+        explode(expr("sequence(1, length(t) - 4)")).as("i"), $"t")
+      .select($"doc_id", expr("substring(t, i, 5)").as("shingle"))
+      .distinct()
+  }
+
+  /** q21 — MinHash + LSH near-duplicate detection with exact-Jaccard
+    * verification of the banded candidates. The permutation family is
+    * md5(perm || '|' || shingle); signature built by conditional
+    * aggregation in one shuffle; candidates only from band-key
+    * equality (2 bands × 4 rows); verified Jaccard from a shingle
+    * equi-join restricted to candidates. */
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir).cache()
+    // One md5 column per permutation on the shingle rows directly — no
+    // perms cross join, so no 8x row blowup ahead of the signature agg.
+    val sigCols = (0 until nPerms).map(p =>
+      min(md5(concat(lit(s"$p|"), $"shingle"))).as(s"m$p"))
+    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    val bands = sig.select($"doc_id", lit(0).as("band"),
+        concat($"m0", $"m1", $"m2", $"m3").as("key"))
+      .union(sig.select($"doc_id", lit(1).as("band"),
+        concat($"m4", $"m5", $"m6", $"m7").as("key")))
+    val a = bands.as("a"); val b = bands.as("b")
+    val cand = a.join(b,
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    val sa = sh.select($"doc_id".as("doc_a"), $"shingle")
+    val sb = sh.select($"doc_id".as("doc_b"), $"shingle")
+    val inter = cand.join(sa, "doc_a")
+      .join(sb, Seq("doc_b", "shingle"))
+      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a")
+        .withColumnRenamed("n", "n_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b")
+        .withColumnRenamed("n", "n_b"), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"n_inter".cast("double") /
+          ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
+  }
+
+  val minhashLshSql: String = {
+    val minCols = (0 until nPerms)
+      .map(p => s"min(md5('$p|' || shingle)) m$p").mkString(", ")
+    s"""WITH sh AS (
+       |  SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle
+       |  FROM (SELECT doc_id, lower(text) AS t,
+       |          unnest(range(1, length(text)-3)) AS i
+       |        FROM documents WHERE length(text) >= 5)
+       |), sig AS (
+       |  SELECT doc_id, $minCols FROM sh GROUP BY doc_id
+       |), bands AS (
+       |  SELECT doc_id, 0 AS band, m0||m1||m2||m3 AS key FROM sig
+       |  UNION ALL
+       |  SELECT doc_id, 1, m4||m5||m6||m7 FROM sig
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+       |  FROM cand c
+       |  JOIN sh sa ON sa.doc_id = c.doc_a
+       |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+       |  GROUP BY c.doc_a, c.doc_b
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
+       |SELECT i.doc_a, i.doc_b,
+       |  CAST(n_inter AS DOUBLE) / CAST(za.n + zb.n - n_inter AS DOUBLE)
+       |    AS jaccard
+       |FROM inter i
+       |JOIN sizes za ON za.doc_id = i.doc_a
+       |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+  }
+
+  private val simhashBits = 16
+
+  /** q22 — SimHash fingerprinting: 16-bit signature from
+    * count-weighted word hashes (bit j set iff the weighted sum of
+    * md5-hex-digit-j "high" bits is non-negative), plus the bucket
+    * size — hamming-0 near-dup grouping. One wordcount shuffle + one
+    * 16-column conditional aggregation. */
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5($"word"))
+    val bitCols: Seq[Column] = (1 to simhashBits).map { j =>
+      when(sum(when(instr(lit("89abcdef"), substring($"h", j, 1)) > 0, $"cnt")
+        .otherwise(-$"cnt")) >= 0, 1L).otherwise(0L).as(s"b$j")
+    }
+    val bits = words.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val simhashCol = (1 to simhashBits)
+      .map(j => col(s"b$j") * (1L << (simhashBits - j)))
+      .reduce(_ + _)
+    val w = Window.partitionBy($"simhash")
+    bits.withColumn("simhash", simhashCol)
+      .withColumn("bucket_size", count(lit(1)).over(w))
+      .select($"doc_id", $"simhash", $"bucket_size")
+  }
+
+  val simhashSql: String = {
+    val bitDefs = (1 to simhashBits).map { j =>
+      s"""CASE WHEN SUM(CASE WHEN instr('89abcdef', substr(h, $j, 1)) > 0
+         |  THEN cnt ELSE -cnt END) >= 0 THEN 1 ELSE 0 END AS b$j"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    val shVal = (1 to simhashBits)
+      .map(j => s"b$j * ${1L << (simhashBits - j)}").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY doc_id, word
+       |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w),
+       |bits AS (SELECT doc_id, $bitDefs FROM d GROUP BY doc_id)
+       |SELECT doc_id, CAST($shVal AS BIGINT) AS simhash,
+       |       COUNT(*) OVER (PARTITION BY $shVal) AS bucket_size
+       |FROM bits""".stripMargin
+  }
+
+  /** q23 — word-bigram Jaccard near-dup, blocked by (lang, source) —
+    * the blocking keys bound the pair space so the gram equi-join
+    * never goes quadratic in the corpus (SURVEY.md §7.1.8 design). */
+  def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bg = Tables.documents(s, dir)
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
+      .where(size($"ws") >= 2)
+      .select($"doc_id", $"lang", $"source",
+        explode(expr(
+          "transform(sequence(1, size(ws) - 1), " +
+            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+          .as("bigram"))
+      .distinct()
+      .cache()
+    val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    val a = bg.as("a"); val b = bg.as("b")
+    val inter = a.join(b,
+        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+          $"a.bigram" === $"b.bigram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
+      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
+      .select($"doc_a", $"doc_b",
+        ($"n_inter".cast("double") /
+          ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
+      .where($"jaccard" >= 0.05)
+  }
+
+  val ngramJaccardSql: String =
+    """WITH bg AS (
+      |  SELECT DISTINCT doc_id, lang, source, bigram
+      |  FROM (
+      |    SELECT doc_id, lang, source,
+      |      unnest(list_transform(range(1, len(ws)),
+      |        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |    FROM (SELECT doc_id, lang, source,
+      |            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |              w -> w <> '') AS ws
+      |          FROM documents)
+      |    WHERE len(ws) >= 2)
+      |), sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+      |inter AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_inter
+      |  FROM bg a JOIN bg b
+      |    ON a.lang = b.lang AND a.source = b.source
+      |   AND a.bigram = b.bigram AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2
+      |)
+      |SELECT doc_a, doc_b, jaccard FROM (
+      |  SELECT i.doc_a, i.doc_b,
+      |    CAST(n_inter AS DOUBLE) / CAST(na.n + nb.n - n_inter AS DOUBLE)
+      |      AS jaccard
+      |  FROM inter i
+      |  JOIN sizes na ON na.doc_id = i.doc_a
+      |  JOIN sizes nb ON nb.doc_id = i.doc_b
+      |) WHERE jaccard >= 0.05""".stripMargin
+}

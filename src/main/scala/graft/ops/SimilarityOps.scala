@@ -1,0 +1,131 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Similarity search over the `embeddings` table (Array[Float]
+  * column) — brute-force cosine top-k as the correctness baseline and
+  * an IVF-style label-bucketed variant as the scale path
+  * (BASELINE.json north-star ops).
+  *
+  * Numeric design: all arithmetic is float→double casts, a strict
+  * left-to-right fold for the dot product (Spark `aggregate` ≡ DuckDB
+  * `list_reduce`), then single IEEE multiply/divide — bit-identical
+  * across engines, so the oracle compares doubles exactly.
+  *
+  * Scale notes (100 TB):
+  *  - brute force is O(n²) per batch and exists as the oracle/recall
+  *    baseline; the IVF variant joins only within a coarse-quantizer
+  *    bucket (here the `label` column standing in for a k-means
+  *    centroid id), which is the standard billion-vector layout:
+  *    partition by bucket, broadcast the probe set per bucket;
+  *  - norms are precomputed once per vector (narrow), so the pair
+  *    join moves only (id, bucket, vector, norm).
+  */
+object SimilarityOps {
+
+  /** Native [[graft.functions.FloatDot]] kernel — a single codegen'd
+    * call into a tight primitive loop, with the same left-to-right
+    * IEEE addition order as DuckDB's list_reduce oracle. */
+  private def dotCol(a: String, b: String) =
+    expr(s"vec_dot($a, $b)")
+
+  private def withNorm(df: DataFrame): DataFrame =
+    df.withColumn("nrm", sqrt(dotCol("embedding", "embedding")))
+
+  private def pairsTopK(s: SparkSession, dir: String,
+      sameLabelOnly: Boolean, k: Int): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val a = e.select($"vec_id", $"label", $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("neighbor_id"), $"label".as("lb"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    val cond =
+      if (sameLabelOnly) $"vec_id" =!= $"neighbor_id" && $"label" === $"lb"
+      else $"vec_id" =!= $"neighbor_id"
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    a.join(b, cond)
+      .withColumn("cos_sim", dotCol("ea", "eb") / ($"na" * $"nb"))
+      .withColumn("rn", row_number().over(w))
+      .where($"rn" <= k)
+      .select($"vec_id", $"neighbor_id", $"rn", $"cos_sim")
+  }
+
+  /** q24 — brute-force cosine top-5 neighbors per vector. */
+  def cosineTopK(s: SparkSession, dir: String): DataFrame =
+    pairsTopK(s, dir, sameLabelOnly = false, k = 5)
+
+  private def duckPairs(labelCond: String): String =
+    s"""WITH e AS (
+       |  SELECT vec_id, label, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), p AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos_sim
+       |  FROM e a JOIN e b ON a.vec_id <> b.vec_id $labelCond
+       |)""".stripMargin
+
+  val cosineTopKSql: String =
+    duckPairs("") +
+      """
+        |SELECT vec_id, neighbor_id, rn, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p
+        |) WHERE rn <= 5""".stripMargin
+
+  /** q25 — IVF-style approximate top-3: candidates restricted to the
+    * same coarse bucket (label). */
+  def annIvf(s: SparkSession, dir: String): DataFrame =
+    pairsTopK(s, dir, sameLabelOnly = true, k = 3)
+
+  val annIvfSql: String =
+    duckPairs("AND a.label = b.label") +
+      """
+        |SELECT vec_id, neighbor_id, rn, cos_sim FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+        |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p
+        |) WHERE rn <= 3""".stripMargin
+
+  /** q35 — embedding-cosine near-duplicate pairs (the vector-space
+    * member of the dedup family): same-bucket pairs above a cosine
+    * threshold, each listed once (a < b). */
+  def embedNearDup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val a = e.select($"vec_id", $"label", $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("vec_b"), $"label".as("lb"),
+      $"embedding".as("eb"), $"nrm".as("nb"))
+    a.join(b, $"vec_id" < $"vec_b" && $"label" === $"lb")
+      .withColumn("cos_sim", dotCol("ea", "eb") / ($"na" * $"nb"))
+      .where($"cos_sim" >= 0.45)
+      .select($"vec_id".as("vec_a"), $"vec_b", $"label", $"cos_sim")
+  }
+
+  val embedNearDupSql: String =
+    """WITH e AS (
+      |  SELECT vec_id, label, embedding,
+      |    sqrt(list_reduce(list_transform(embedding,
+      |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+      |      (acc, x) -> acc + x)) AS nrm
+      |  FROM embeddings
+      |)
+      |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+      |  list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+      |    (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos_sim
+      |FROM e a JOIN e b ON a.vec_id < b.vec_id AND a.label = b.label
+      |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+      |    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+      |    (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.45""".stripMargin
+}
