@@ -3,6 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.ops._
+import graft.streaming.StreamOps
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -34,6 +35,7 @@ object SparkEntry {
       ("q12_doc_rank", TextOps.docRank _, Some(TextOps.docRankSql)),
       ("q13_subject_extract", TextOps.subjectExtract _, Some(TextOps.subjectExtractSql)),
       ("q14_natural_sort", TextOps.naturalSort _, Some(TextOps.naturalSortSql)),
+      ("q15_column_stats", StatsOps.columnStats _, Some(StatsOps.columnStatsSql)),
       ("q16_size_accounting", Relational.sizeAccounting _, Some(Relational.sizeAccountingSql)),
       ("q17_outcome_counters", Relational.outcomeCounters _, Some(Relational.outcomeCountersSql)),
       ("q18_date_dimension", Relational.dateDimension _, Some(Relational.dateDimensionSql)),
@@ -48,6 +50,11 @@ object SparkEntry {
       ("q27_quality_score", TextOps.qualityScore _, Some(TextOps.qualityScoreSql)),
       ("q28_token_count", TextOps.tokenCount _, Some(TextOps.tokenCountSql)),
       ("q29_fingerprint", TextOps.fingerprint _, Some(TextOps.fingerprintSql)),
+      ("q30_event_windows", StatsOps.eventWindows _, Some(StatsOps.eventWindowsSql)),
+      ("q31_json_props", StatsOps.jsonProps _, Some(StatsOps.jsonPropsSql)),
+      ("q32_binary_meta", MultimodalOps.binaryMeta _, Some(MultimodalOps.binaryMetaSql)),
+      ("q33_media_features", MultimodalOps.mediaFeatures _, None),
+      ("q34_stream_windows", StreamOps.streamEventWindows _, Some(StreamOps.streamEventWindowsSql)),
       ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
     )
 

@@ -1,0 +1,106 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Multimodal-column operators: media payloads as opaque binary
+  * columns with typed metadata, decoded/feature-extracted inside the
+  * executors (BASELINE.json north-star; the reference's analogue is
+  * the binary PDF → text/OCR stage, SURVEY.md §2.1 S9-S11).
+  *
+  * Scale notes (100 TB):
+  *  - payloads stay in executor space end to end (binary column →
+  *    mapPartitions → feature rows); nothing is collected;
+  *  - the decoder is invoked per PARTITION, so a real codec (libjpeg,
+  *    ffmpeg, tesseract — the reference shells to pdftotext/tesseract
+  *    the same way, 04_convert_contracts_to_text.py:265-392) amortizes
+  *    its process/model startup across the partition, exactly like the
+  *    reference's per-directory batching;
+  *  - partition count is the parallelism knob: repartition(n) before
+  *    decode to match executor-core budget at 100 TB.
+  */
+object MultimodalOps {
+
+  /** One media record: payload + metadata. */
+  final case class MediaRecord(doc_id: Long, media_type: String,
+      payload: Array[Byte])
+
+  /** Extracted features (fixed schema regardless of media type). */
+  final case class MediaFeatures(doc_id: Long, media_type: String,
+      n_bytes: Long, mean_byte: Double, width: Int, height: Int,
+      histogram: Array[Long])
+
+  /** The decode step. The container ships no image/audio codecs, so
+    * this is a clearly-marked deterministic STUB standing in for e.g.
+    * `ImageIO.read`/ffmpeg: it derives fake width/height and a 16-bin
+    * byte histogram from the payload bytes. The Spark-side plumbing —
+    * binary column, per-partition batching, fixed output schema — is
+    * the real, tested surface; swap this function for a codec to go
+    * to production.
+    */
+  private[ops] def decodeStub(rec: MediaRecord): MediaFeatures = {
+    val bytes = rec.payload
+    val n = bytes.length.toLong
+    var sum = 0L
+    val hist = new Array[Long](16)
+    var i = 0
+    while (i < bytes.length) {
+      val b = bytes(i) & 0xff
+      sum += b
+      hist(b >> 4) += 1
+      i += 1
+    }
+    val mean = if (n == 0) 0.0 else sum.toDouble / n.toDouble
+    // fake dimensions: deterministic in content length (stands in for
+    // the codec-reported frame size)
+    val w = 16 + (n % 64).toInt
+    val h = 16 + (n % 48).toInt
+    MediaFeatures(rec.doc_id, rec.media_type, n, mean, w, h, hist)
+  }
+
+  /** q33 — multimodal feature extraction: documents→binary payloads →
+    * per-partition decode → typed feature rows. Not SQL-expressible
+    * (the decode is executor code), so the driver records the weaker
+    * rows-only check for it. */
+  def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val media: Dataset[MediaRecord] = Tables.documents(s, dir)
+      .select($"doc_id", $"text")
+      .as[(Long, String)]
+      .map { case (id, text) =>
+        MediaRecord(id, if (id % 2 == 0) "image" else "audio",
+          text.getBytes("UTF-8"))
+      }
+    media
+      .mapPartitions { it =>
+        // per-partition seam: a real codec initializes here, once,
+        // then streams the partition through (cf. reference S9's
+        // per-directory tool invocation)
+        it.map(decodeStub)
+      }
+      .toDF()
+      .select($"doc_id", $"media_type", $"n_bytes", $"mean_byte",
+        $"width", $"height", element_at($"histogram", 1).as("hist_bin0"))
+  }
+
+  /** q32 — binary-column metadata (the pure-relational face of the
+    * multimodal table: byte length, checksum, leading byte — all
+    * pushdown-friendly column expressions, no decode). */
+  def binaryMeta(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("payload", $"text".cast("binary"))
+      .select($"doc_id",
+        octet_length($"payload").cast("long").as("n_bytes"),
+        md5($"payload").as("checksum"),
+        ascii(substring($"text", 1, 1)).cast("long").as("first_byte"))
+  }
+
+  val binaryMetaSql: String =
+    """SELECT doc_id, CAST(strlen(text) AS BIGINT) AS n_bytes,
+      |       md5(text) AS checksum,
+      |       CAST(ascii(substr(text, 1, 1)) AS BIGINT) AS first_byte
+      |FROM documents""".stripMargin
+}

@@ -1,0 +1,104 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.Tables
+
+/** Columnar statistics + event-stream aggregates.
+  *
+  * q15 is the Spark rendering of the reference's per-column stats
+  * passes over extracted tables (09_clean_tables.py:180-309, SURVEY.md
+  * §2.2 P10-P12 / §2.4 A6 / §2.8): tables become a long
+  * (column, cell) frame and every per-column statistic is one
+  * conditional aggregate in a single pass — the reference's four
+  * separate row-loops collapse into one columnar shuffle.
+  *
+  * Scale notes: the long format means per-column stats of a million
+  * heterogeneous extracted tables are ONE groupBy(tableId, column)
+  * aggregation, never a driver-side loop over per-table DataFrames
+  * (SURVEY.md §7.4.5).
+  */
+object StatsOps {
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** q15 — per-column stats: non-empty count (P10), numeric-row ratio
+    * with the reference's 0.75 price-column threshold (P12/H3), all in
+    * one conditional-aggregation pass over the long (column, cell)
+    * frame. */
+  def columnStats(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cells = Tables.events(s, dir).select(explode(array(
+      struct(lit("event_type").as("colname"), $"event_type".as("cell")),
+      struct(lit("user_id").as("colname"), $"user_id".cast("string").as("cell")),
+      struct(lit("props").as("colname"), $"props".as("cell"))
+    )).as("c")).select($"c.colname", $"c.cell")
+    cells.groupBy($"colname").agg(
+        count(lit(1)).as("n"),
+        sum(when(trim($"cell") =!= "", 1L).otherwise(0L)).as("n_nonempty"),
+        sum(when($"cell".rlike("^[0-9]+$"), 1L).otherwise(0L)).as("n_numeric"))
+      .withColumn("numeric_ratio",
+        $"n_numeric".cast("double") / $"n".cast("double"))
+      .withColumn("is_numeric_col", $"numeric_ratio" > 0.75)
+  }
+
+  val columnStatsSql: String =
+    """SELECT colname, COUNT(*) AS n,
+      |  SUM(CASE WHEN trim(cell) <> '' THEN 1 ELSE 0 END) AS n_nonempty,
+      |  SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
+      |    AS n_numeric,
+      |  CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
+      |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS numeric_ratio,
+      |  CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
+      |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) > 0.75 AS is_numeric_col
+      |FROM (
+      |  SELECT 'event_type' AS colname, event_type AS cell FROM events
+      |  UNION ALL
+      |  SELECT 'user_id', CAST(user_id AS VARCHAR) FROM events
+      |  UNION ALL
+      |  SELECT 'props', props FROM events
+      |) GROUP BY colname""".stripMargin
+
+  /** q30 — tumbling-window event aggregation (batch form of the
+    * streaming seam, SURVEY.md §2.9: the daily-dump loop
+    * 00_download_CRZ_DB.py:179-219 as event-time windows). */
+  def eventWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("ws", date_trunc("hour", $"ts"))
+      .groupBy($"ws", $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).as("sum_value"),
+        countDistinct($"user_id").as("n_users"))
+  }
+
+  val eventWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
+      |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value,
+      |  COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin
+
+  /** q31 — semi-structured property extraction (F27's
+    * stringified-structure parsing, 03_download_contracts.py:619-646,
+    * as a regexp pull from the JSON props column). */
+  def jsonProps(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .withColumn("k",
+        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+      .groupBy($"event_type")
+      .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
+        max($"k").as("max_k"))
+      .withColumn("avg_k", $"sum_k".cast("double") / $"n".cast("double"))
+  }
+
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
+      |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin
+}

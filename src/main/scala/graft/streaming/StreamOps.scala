@@ -1,0 +1,102 @@
+package graft.streaming
+
+import java.util.concurrent.atomic.AtomicInteger
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming operators (SURVEY.md §2.9 / §7.1.7: the
+  * reference's daily-dump loop 00_download_CRZ_DB.py:179-219 re-seamed
+  * as a file-source stream).
+  *
+  * Scale notes: the same code runs `trigger(AvailableNow)` against a
+  * date-partitioned landing directory on a cluster — file-source
+  * micro-batching + watermarked state is the standard continuous
+  * form of stage 1-2 of the reference; state store size is bounded by
+  * the watermark horizon, not the corpus.
+  */
+object StreamOps {
+
+  private val runId = new AtomicInteger(0)
+
+  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+
+  /** q34 — the q30 tumbling-window aggregation executed as a real
+    * Structured Streaming query: parquet file source → event-time
+    * window aggregate → in-memory sink (complete mode), drained
+    * synchronously with processAllAvailable. Oracle-comparable
+    * because complete mode emits every window.
+    */
+  def streamEventWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // schema must match the raw file (ts is a nanos long under the
+    // legacy conf); event-time conversion happens in the select.
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = s.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val agg = stream
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
+    val name = s"graft_stream_windows_${runId.incrementAndGet()}"
+    val q = agg.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(name)
+      .select($"window.start".as("ws"), $"window.end".as("we"),
+        $"event_type", $"n", $"sum_value")
+  }
+
+  val streamEventWindowsSql: String =
+    """SELECT date_trunc('hour', ts) AS ws,
+      |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+      |       event_type, COUNT(*) AS n,
+      |       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |FROM events GROUP BY 1, 2, 3""".stripMargin
+
+  /** Streaming first-seen dedup (D1/D2 as a continuous query,
+    * SURVEY.md §2.9): watermarked dropDuplicates on the key columns.
+    * State is bounded by the watermark horizon. Exercised by the
+    * streaming spec (not oracle-comparable: append-mode emission
+    * depends on watermark advancement, which is data-arrival
+    * dependent — exactly the semantics difference the survey calls
+    * out).
+    */
+  def streamDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = s.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    val deduped = stream
+      .withWatermark("ts", "1 hour")
+      .dropDuplicates("user_id", "event_type")
+    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
+    val q = deduped.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    s.table(name)
+      .select($"event_id", $"user_id", $"event_type", $"ts")
+  }
+}

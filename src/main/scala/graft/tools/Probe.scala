@@ -1,0 +1,36 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+import graft.SparkEntry
+
+/** Dev CLI: run one registered query (or a named extra op) against an
+  * sf dir, print row count, optionally the formatted physical plan.
+  *
+  *   sbt "runMain graft.tools.Probe q03_revenue_join /root/testdata/sf0.01 --explain"
+  *   sbt "runMain graft.tools.Probe streamDedup /root/testdata/sf0.01"
+  */
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    val explain = args.contains("--explain")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val df = name match {
+      case "streamDedup" => graft.streaming.StreamOps.streamDedup(spark, sfDir)
+      case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
+      case q => SparkEntry.queries(q)(spark, sfDir)
+    }
+    if (explain) df.explain("formatted")
+    println(s"PROBE name=$name rows=${df.count()}")
+    df.show(5, truncate = false)
+    spark.stop()
+  }
+}
