@@ -1,0 +1,93 @@
+package graft.crz
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Entry point 1 — the clean-filter stage (02_filter_by_CIN.py,
+  * SURVEY.md §3 "Entry point 1"): one declarative DataFrame chain
+  * replacing the reference's sequential per-row filter cascade; the
+  * tosslevel discard-reason audit becomes a computed `reason` column
+  * (SURVEY.md §5 observability parity) so the audit is queryable, not
+  * console noise.
+  *
+  * Scale notes: both dimensions broadcast (companies ~10^3 rows,
+  * resorts ~10^1); all predicates are Catalyst expressions fused into
+  * one WholeStageCodegen stage over the fact scan; dedup is a window
+  * on the identity key, hash-partitioned — the reference's O(n²)
+  * membership list disappears.
+  */
+object CleanFilter {
+
+  /** Filter parameters (the reference's interactive input()s,
+    * 02_filter_by_CIN.py:109-168, as a config object). */
+  final case class Params(
+      minPrice: java.math.BigDecimal = java.math.BigDecimal.ZERO,
+      minDate: java.sql.Timestamp =
+        java.sql.Timestamp.valueOf("2011-01-01 00:00:00"),
+      requireAttachment: Boolean = true)
+
+  private def normIco(c: Column): Column = regexp_replace(c, " ", "")
+  private def normName(c: Column): Column =
+    upper(regexp_replace(c, " ", ""))
+
+  /** The discard-reason classifier (A10: tosslevels 1-5,
+    * 02_filter_by_CIN.py:184-301). `kept` rows have reason 'kept'. */
+  def withReason(contracts: DataFrame, companies: DataFrame,
+      resorts: DataFrame, params: Params): DataFrame = {
+    val s = contracts.sparkSession
+    // broadcast the normalized membership sets (J1 list / J2 names)
+    val icoSet = companies
+      .select(normIco(col("ICO")).as("ico")).distinct()
+    val resortNames = resorts
+      .select(normName(col("name")).as("rname")).distinct()
+    val c = contracts
+      .join(broadcast(icoSet), normIco(col("dodavatelIco")) === col("ico"),
+        "left")
+      .withColumn("cin_ok", col("ico").isNotNull)
+      .drop("ico")
+    // P4 — resort containment: any resort name is a substring of the
+    // normalized purchaser (02:205-225); exists() short-circuits like
+    // the reference's break.
+    val rlist = broadcast(resortNames)
+      .agg(collect_list(col("rname")).as("rnames"))
+    val withResort = c.crossJoin(rlist)
+      .withColumn("resort_ok",
+        expr("exists(rnames, r -> contains(upper(replace(objednavatel, ' ', '')), r))"))
+      .drop("rnames")
+    val w = Window.partitionBy(col("nazov"), col("id"))
+      .orderBy(col("datumZverejnenia"), col("innerId"))
+    withResort
+      .withColumn("rn", row_number().over(w))
+      .withColumn("reason",
+        // sequential filter cascade order preserved from 02:184-301:
+        // CIN membership, resort containment, attachments, price,
+        // date, dedup — first failing predicate names the discard.
+        when(!col("cin_ok"), "no_cin")
+          .when(!col("resort_ok"), "no_resort")
+          .when(lit(params.requireAttachment) &&
+            !expr("exists(coalesce(prilohy, array()), " +
+              "a -> coalesce(a.url LIKE 'https://%', false))"),
+            "no_attachment")
+          .when(col("cenaKonecna").isNull ||
+            col("cenaKonecna") < lit(params.minPrice), "price_below_min")
+          .when(col("datumZverejnenia").isNull ||
+            col("datumZverejnenia") < lit(params.minDate), "date_below_min")
+          .when(col("rn") > 1, "duplicate")
+          .otherwise("kept"))
+      .drop("rn", "cin_ok", "resort_ok")
+  }
+
+  /** The cleaned table: kept rows only, ordered projection
+    * (02_filter_by_CIN.py:304-310). */
+  def clean(contracts: DataFrame, companies: DataFrame,
+      resorts: DataFrame, params: Params): DataFrame =
+    withReason(contracts, companies, resorts, params)
+      .where(col("reason") === "kept").drop("reason")
+
+  /** The audit table (A10): per-reason counts, queryable. */
+  def audit(contracts: DataFrame, companies: DataFrame,
+      resorts: DataFrame, params: Params): DataFrame =
+    withReason(contracts, companies, resorts, params)
+      .groupBy(col("reason")).agg(count(lit(1)).as("n"))
+}

@@ -1,0 +1,49 @@
+package graft.crz
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dictionary mining (05_build_special_dictionary.py, SURVEY.md §2.4
+  * A4 / §2.7 F21-F22): Slovak-alphabet tokenization, spell-membership
+  * against broadcast dictionaries, out-of-vocabulary wordcount with
+  * HAVING count > 5.
+  *
+  * Spell semantics note (SURVEY.md §7.4.1): real hunspell applies affix
+  * morphology; the engine uses wordlist-set membership (dic wordlist ∪
+  * special dict ∪ keywords), which is what the reference itself does
+  * for the special dict (09_clean_tables.py:85,134). The delta is
+  * documented, deliberate, and pinned by fixture tests.
+  */
+object Dictionary {
+
+  /** F21 — Slovak-alphabet tokenizer (05_build:22-38): split on any
+    * run of characters outside the Slovak alphabet. */
+  val slovakTokenSplit = "[^aáäbcčdďeéfghiíjklĺľmnňoóôpqrŕsštťuúvwxyýzž]+"
+
+  def tokenize(corpus: DataFrame): DataFrame =
+    corpus
+      .select(col("contract_id"),
+        explode(split(lower(col("text")), slovakTokenSplit)).as("word"))
+      .where(col("word") =!= "")
+
+  /** A4 — OOV mining: words failing dictionary membership, counted,
+    * kept above the reference's threshold (count > 5, 05_build:139),
+    * sorted desc (O2). `dictionary`: DataFrame[word]. */
+  def mineSpecialWords(corpus: DataFrame, dictionary: DataFrame,
+      minCount: Long = 5L): DataFrame =
+    tokenize(corpus)
+      .join(broadcast(dictionary.select(lower(col("word")).as("word"))
+        .distinct()), Seq("word"), "left_anti")
+      .groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .where(col("n") > minCount)
+      .orderBy(col("n").desc, col("word"))
+
+  /** F22 — spell(word): broadcast-set membership column (used by the
+    * tables pipeline's dummy-column test P11). */
+  def spellOk(words: DataFrame, dictionary: DataFrame): DataFrame =
+    words.join(
+      broadcast(dictionary.select(lower(col("word")).as("word"))
+        .withColumn("known", lit(true)).distinct()),
+      Seq("word"), "left")
+      .withColumn("known", coalesce(col("known"), lit(false)))
+}

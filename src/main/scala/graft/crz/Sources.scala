@@ -1,0 +1,208 @@
+package graft.crz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Sources & sinks of the CRZ pipeline (SURVEY.md §2.1), Spark-first.
+  *
+  * Scale notes: every reader is a real datasource (CSV/XML/text) so
+  * partition-parallel scan, column pruning and predicate pushdown come
+  * from Catalyst; the quarantine split is a filter on the
+  * corrupt-record column, not a per-file try/except
+  * (01_parse_xml.py:69-74,197-200).
+  */
+object Sources {
+
+  /** S6 — pipe-CSV scan, all-string, explicit schema (the reference's
+    * dtype=str reads: 02_filter_by_CIN.py:94 etc.). */
+  def readPipeCsv(s: SparkSession, path: String): DataFrame =
+    s.read
+      .option("sep", "|")
+      .option("header", "true")
+      .schema(Schemas.rawCsv)
+      .csv(path)
+
+  /** S5 — pipe-CSV sink with header (01_parse_xml.py:205-208). */
+  def writePipeCsv(df: DataFrame, path: String): Unit =
+    df.write.mode("overwrite")
+      .option("sep", "|").option("header", "true")
+      .csv(path)
+
+  /** S7 — quote-aware multiline CSV scan: the reference's hand-rolled
+    * quote-parity newline repair (09_clean_tables.py:153-180) is just
+    * multiLine=true on a real CSV reader. */
+  def readMultilineCsv(s: SparkSession, path: String): DataFrame =
+    s.read
+      .option("sep", "|").option("header", "true")
+      .option("multiLine", "true").option("quote", "\"")
+      .csv(path)
+
+  /** S3/S4 — recovering XML scan: rowTag=zmluva with PERMISSIVE mode;
+    * malformed elements land in _corrupt_record instead of crashing
+    * the job. Returns (good, quarantined) — the reference copies bad
+    * files to Corrupted_XML_files/ (01_parse_xml.py:197-200); here the
+    * quarantine is a DataFrame you can write anywhere. */
+  def readContractsXml(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    val raw = s.read
+      .format("xml")
+      .option("rowTag", "zmluva")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(Schemas.zmluvaXml)
+      .load(path)
+      .cache()
+    val good = raw.where(col("_corrupt_record").isNull)
+      .drop("_corrupt_record")
+    val quarantined = raw.where(col("_corrupt_record").isNotNull)
+      .select(col("_corrupt_record"))
+    (good, quarantined)
+  }
+
+  /** Typed contract frame from the XML shape: casts + whitespace
+    * normalization (P1: trim + newline→space, 01_parse_xml.py:87-101)
+    * + attachment struct typing (sizes to long, dates to timestamp,
+    * absolute URL per F26: 01:151,161,179). */
+  def typedContracts(xml: DataFrame): DataFrame = {
+    val norm = (c: String) =>
+      trim(regexp_replace(col(c), "\\s+", " ")).as(c)
+    xml.select(
+      norm("nazov"), norm("id"), norm("innerId"),
+      norm("objednavatelIco"), norm("objednavatel"), norm("objednavatelAdresa"),
+      norm("dodavatelIco"), norm("dodavatel"), norm("dodavatelAdresa"),
+      to_timestamp(col("datumZverejnenia")).as("datumZverejnenia"),
+      to_timestamp(col("datumPodpisu")).as("datumPodpisu"),
+      to_timestamp(col("datumPlatnosti")).as("datumPlatnosti"),
+      to_timestamp(col("datumUcinnosti")).as("datumUcinnosti"),
+      to_timestamp(col("poslednaZmena")).as("poslednaZmena"),
+      expr("try_cast(cenaKonecna AS DECIMAL(18,2))").as("cenaKonecna"),
+      expr("try_cast(cenaPodpisana AS DECIMAL(18,2))").as("cenaPodpisana"),
+      norm("rezort"), norm("typ"), norm("stav"),
+      expr("""transform(coalesce(priloha, array()), a -> struct(
+          a.attId AS attId, a.name AS name, a.filename AS filename,
+          try_cast(a.size AS BIGINT) AS sizeBytes,
+          CASE WHEN a.link LIKE 'http%' THEN a.link
+               ELSE concat('https://www.crz.gov.sk/data/att/', a.filename)
+          END AS url,
+          try_cast(a.date AS TIMESTAMP) AS attDate))""").as("prilohy"))
+  }
+
+  /** F27 — legacy stringified-Python-list attachment cell →
+    * Array[Attachment], including the reference's `' nan,'` repair
+    * hack (03_download_contracts.py:640). Python list literals with
+    * single quotes become JSON arrays; unquoted nan is quoted first.
+    */
+  def parseLegacyAttachments(cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val jsonish = regexp_replace(
+      regexp_replace(cell, "(?<=[\\[, ])nan(?=[,\\]])", "\"nan\""),
+      "'", "\"")
+    from_json(jsonish,
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType))
+  }
+
+  /** Typed contract frame from the legacy pipe-CSV (A2 fixture shape):
+    * rename to canonical names, try_cast prices (P6 discard
+    * semantics), timestamp casts, and re-hydrate the stringified
+    * attachment list through [[parseLegacyAttachments]] +
+    * [[classifyAttachment]] (F27+F28). */
+  def typedFromLegacyCsv(raw: DataFrame): DataFrame = {
+    val renames = Seq(
+      "Nazov" -> "nazov", "ID" -> "id", "Inner-ID" -> "innerId",
+      "Objednavatel_ICO" -> "objednavatelIco",
+      "Objednavatel" -> "objednavatel",
+      "Objednavatel_adresa" -> "objednavatelAdresa",
+      "Dodavatel_ICO" -> "dodavatelIco", "Dodavatel" -> "dodavatel",
+      "Dodavatel_adresa" -> "dodavatelAdresa", "Rezort" -> "rezort",
+      "Typ" -> "typ", "Stav" -> "stav")
+    val renamed = renames.foldLeft(raw) { case (df, (a, b)) =>
+      df.withColumnRenamed(a, b)
+    }
+    renamed
+      .withColumn("datumZverejnenia", to_timestamp(col("Datum_zverejnenia")))
+      .withColumn("datumPodpisu", to_timestamp(col("Datum_podpisu")))
+      .withColumn("datumPlatnosti", to_timestamp(col("Datum_platnosti")))
+      .withColumn("datumUcinnosti", to_timestamp(col("Datum_ucinnosti")))
+      .withColumn("poslednaZmena", to_timestamp(col("Posledna_zmena")))
+      .withColumn("cenaKonecna",
+        expr("try_cast(Cena_konecna AS DECIMAL(18,2))"))
+      .withColumn("cenaPodpisana",
+        expr("try_cast(Cena_podpisana AS DECIMAL(18,2))"))
+      // note: withColumn/drop resolve names case-insensitively, so the
+      // typed array gets a temp name until the legacy Prilohy is gone
+      .withColumn("prilohy_typed",
+        classifyAttachment(parseLegacyAttachments(col("Prilohy"))))
+      .drop("Index", "Datum_zverejnenia", "Datum_podpisu",
+        "Datum_platnosti", "Datum_ucinnosti", "Posledna_zmena",
+        "Cena_konecna", "Cena_podpisana", "Prilohy", "Dodatky")
+      .withColumnRenamed("prilohy_typed", "prilohy")
+  }
+
+  /** F28 — attachment element classifier
+    * (04_tag_text_contracts.py:137-165): within the flat legacy list,
+    * the first numeric string is the ID (name follows it), the first
+    * https element the link, the second numeric the size, the first
+    * timestamp-shaped element the date. Yields zero or one typed
+    * Attachment struct (fixtures carry one attachment per cell, like
+    * the reference's per-element walk). */
+  def classifyAttachment(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    val nonEmpty = size(arr) > 0
+    val nums = filter(arr, x => x.rlike("^[0-9]+$"))
+    // try_element_at: short lists yield nulls instead of ANSI errors
+    val struct0 = struct(
+      try_element_at(nums, lit(1)).as("attId"),
+      try_element_at(arr, lit(2)).as("name"),
+      try_element_at(arr, lit(3)).as("filename"),
+      // nums elements all match ^[0-9]+$, so the cast cannot fail
+      try_element_at(nums, lit(2)).cast("long").as("sizeBytes"),
+      try_element_at(filter(arr, x => x.startsWith("https://")), lit(1))
+        .as("url"),
+      to_timestamp(try_element_at(
+        filter(arr, x => x.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$")),
+        lit(1))).as("attDate"))
+    when(nonEmpty, array(struct0)).otherwise(
+      array().cast("array<struct<attId:string,name:string,filename:string," +
+        "sizeBytes:bigint,url:string,attDate:timestamp>>"))
+  }
+
+  /** S8 — directory-as-table text corpus: `contracts_text/<ID>/` txt
+    * members → (contract_id, file, text). The id is the second-to-last
+    * path segment (F23: 03_download_contracts.py:261-266). */
+  def readTextCorpus(s: SparkSession, root: String): DataFrame = {
+    s.read.format("text")
+      .option("pathGlobFilter", "*.txt")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .withColumn("path", input_file_name())
+      .withColumn("contract_id",
+        element_at(split(col("path"), "/"), -2))
+      .withColumn("file", element_at(split(col("path"), "/"), -1))
+      .groupBy(col("contract_id"), col("file"))
+      .agg(concat_ws("\n", collect_list(col("value"))).as("text"))
+  }
+
+  /** S12 — dictionary sink: first line = word count, then words in
+    * count-desc order (05_build_special_dictionary.py:144-155). The
+    * header-first guarantee comes from an explicit sort key — union
+    * partition order is NOT a contract once shuffles are involved. */
+  def writeDictionary(df: DataFrame, wordCol: String, countCol: String,
+      path: String): Unit = {
+    val s = df.sparkSession
+    val n = df.count()
+    val body = df.select(col(wordCol).as("value"), lit(1).as("ord"),
+      col(countCol).cast("long").as("k"))
+    val head = s.range(1).select(lit(n.toString).as("value"),
+      lit(0).as("ord"), lit(Long.MaxValue).as("k"))
+    head.union(body)
+      .orderBy(col("ord"), col("k").desc, col("value"))
+      .select("value").coalesce(1)
+      .write.mode("overwrite").text(path)
+  }
+
+  /** S13 — suggested-keywords sink: `word\t\tweight`, weight desc
+    * (09_clean_tables.py:358-364). */
+  def writeSuggestedKeywords(df: DataFrame, wordCol: String,
+      weightCol: String, path: String): Unit =
+    df.orderBy(col(weightCol).desc)
+      .select(concat_ws("\t\t", col(wordCol), col(weightCol)))
+      .coalesce(1).write.mode("overwrite").text(path)
+}

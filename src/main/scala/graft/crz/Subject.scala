@@ -1,0 +1,28 @@
+package graft.crz
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Subject extraction (08_extract_subject.py, SURVEY.md §2.6 O6 /
+  * §2.7 F5/F7): find the "Predmet zmluvy" heading, else the
+  * "úvodné ustanovenia" fallback, else 'Nenájdené'; snippet capped at
+  * 600 chars after the match. A derived column of the corpus join —
+  * never the reference's join-by-row-order (J5, SURVEY.md §2.3).
+  */
+object Subject {
+
+  val NotFound = "Nenájdené"
+
+  def extract(corpus: DataFrame): DataFrame = {
+    val docs = corpus.groupBy(col("contract_id"))
+      .agg(concat_ws("\n", collect_list(col("text"))).as("t"))
+    docs
+      .withColumn("p1", locate("Predmet zmluvy", col("t")))
+      .withColumn("p2", locate("úvodné ustanovenia", lower(col("t"))))
+      .withColumn("predmet",
+        when(col("p1") > 0, expr("substring(t, p1, 600)"))
+          .when(col("p2") > 0, expr("substring(t, p2, 600)"))
+          .otherwise(lit(NotFound)))
+      .select(col("contract_id"), col("predmet"))
+  }
+}

@@ -1,0 +1,98 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.crz._
+
+/** End-to-end CRZ pipeline demo over the reference-shaped fixtures:
+  * XML dump → quarantine split → typed contracts → clean-filter with
+  * audit → corpus tagging → subject extraction → dictionary mining →
+  * tables pipeline → sinks. The runnable face of SURVEY.md §3's three
+  * entry points.
+  *
+  *   sbt "runMain graft.tools.CrzDemo fixtures/crz /tmp/crz_out"
+  */
+object CrzDemo {
+  def main(args: Array[String]): Unit = {
+    val fx = if (args.nonEmpty) args(0) else "fixtures/crz"
+    val out = if (args.length > 1) args(1) else "/tmp/crz_out"
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")}]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    // entry point 1: XML → typed → clean
+    val (good, bad) = Sources.readContractsXml(spark, s"$fx/xml")
+    println(s"[xml] parsed=${good.count()} quarantined=${bad.count()}")
+    val typedXml = Sources.typedContracts(good)
+
+    val typed = Sources.typedFromLegacyCsv(
+      Sources.readPipeCsv(spark, s"$fx/CRZ_DB_with_supplements.csv"))
+    val companies = spark.read.option("sep", "|").option("header", "true")
+      .csv(s"$fx/companies.csv")
+    val resorts = spark.read.option("header", "true").csv(s"$fx/resorts.csv")
+    val params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))
+    val audit = CleanFilter.audit(typed, companies, resorts, params)
+    println("[audit]")
+    audit.orderBy($"reason").collect()
+      .foreach(r => println(s"  ${r.getString(0)} -> ${r.getLong(1)}"))
+    val clean = CleanFilter.clean(typed, companies, resorts, params)
+    Sources.writePipeCsv(clean.drop("prilohy"), s"$out/CRZ_DB_clean")
+    println(s"[clean] kept=${clean.count()} -> $out/CRZ_DB_clean")
+
+    // entry point 2: corpus tagging + subject
+    val corpus = Sources.readTextCorpus(spark, s"$fx/contracts_text")
+    val keywords = {
+      val lines = scala.io.Source.fromFile(s"$fx/keywords.txt")("UTF-8")
+        .getLines().toSeq
+      lines.flatMap { l =>
+        val p = l.split(",").map(_.trim); p.tail.map(k => (p.head, k))
+      }.toDF("category", "keyword")
+    }
+    val ranked = Tagging.ranked(corpus, keywords, clean)
+    println(s"[tagged] ranked=${ranked.count()}")
+    ranked.select("rank", "contract_id", "vyskyty", "pocetZnakov")
+      .orderBy($"rank").show(5, truncate = false)
+    val subjects = Subject.extract(corpus)
+    subjects.show(3, truncate = 40)
+
+    // dictionary mining
+    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
+      .withColumnRenamed("value", "word")
+      .where(!$"word".rlike("^[0-9]+$"))
+    val mined = Dictionary.mineSpecialWords(corpus, dic, minCount = 0L)
+    Sources.writeDictionary(mined, "word", "n", s"$out/special_dict")
+    println(s"[dict] mined=${mined.count()} -> $out/special_dict")
+
+    // entry point 3: tables
+    val cells = Seq(1, 2, 3).map { n =>
+      TablesPipeline.readTableCsv(spark,
+        s"$fx/tables/100001/table_zmluva_100001_$n.csv", "100001", n)
+    }.reduce(_ union _).cache()
+    val kws = TablesPipeline.Keywords(
+      position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
+      header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
+      priceHeader = Seq("cena", "dph", "€"))
+    val spellDict = dic.union(
+      keywords.select(explode(split(lower($"keyword"), " ")).as("word")))
+    val dataCells = cells.where($"row_idx" > 0)
+    val stats = TablesPipeline.columnStats(dataCells, spellDict, kws)
+    val hdr = TablesPipeline.tableHeader(cells, kws)
+    val gate = TablesPipeline.tableGate(stats, hdr)
+    val cleaned = TablesPipeline.cleanedCells(dataCells, stats, gate)
+    val sugg = TablesPipeline.suggestedKeywords(dataCells, stats, gate, keywords)
+    Sources.writeSuggestedKeywords(sugg, "word", "weight",
+      s"$out/suggested_keywords")
+    println(s"[tables] cleaned_cells=${cleaned.count()} " +
+      s"price_tables=${gate.where($"price_table").count()} " +
+      s"suggested=${sugg.count()} -> $out/suggested_keywords")
+
+    println(s"[xml-typed] ${typedXml.count()} contracts from XML")
+    spark.stop()
+  }
+}

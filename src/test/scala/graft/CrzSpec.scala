@@ -1,0 +1,202 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.crz._
+
+/** Golden end-to-end fixtures for the CRZ-domain pipeline (SURVEY.md
+  * §5.4, FIXTURES.md family A). */
+class CrzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fx = "fixtures/crz"
+
+  // ---- A1: XML source with quarantine (S3/S4) ----
+
+  test("XML scan: good rows parsed, malformed row quarantined") {
+    val (good, bad) = Sources.readContractsXml(spark, s"$fx/xml")
+    assert(good.count() == 2)
+    assert(bad.count() == 1)
+    val t = Sources.typedContracts(good)
+    val c1 = t.where($"id" === "100001").head()
+    // P1: embedded newline in nazov normalized to space
+    assert(c1.getAs[String]("nazov") == "Zmluva o dielo IS modernizacia")
+    val atts = c1.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("prilohy")
+    assert(atts.size == 2)
+    assert(atts.head.getAs[Long]("sizeBytes") == 52344L)
+    // F26: relative filename becomes an absolute crz URL
+    assert(atts(1).getAs[String]("url")
+      == "https://www.crz.gov.sk/data/att/priloha_100001.pdf")
+  }
+
+  // ---- A2: legacy CSV + clean-filter cascade (02_filter_by_CIN) ----
+
+  private lazy val typed = Sources.typedFromLegacyCsv(
+    Sources.readPipeCsv(spark, s"$fx/CRZ_DB_with_supplements.csv"))
+  private lazy val companies = spark.read.option("sep", "|")
+    .option("header", "true").csv(s"$fx/companies.csv")
+  private lazy val resorts = spark.read.option("header", "true")
+    .csv(s"$fx/resorts.csv")
+  private lazy val params = CleanFilter.Params(
+    minPrice = new java.math.BigDecimal("1000"))
+
+  test("clean-filter cascade: every tosslevel reason hit exactly as designed") {
+    val audit = CleanFilter.audit(typed, companies, resorts, params)
+      .as[(String, Long)].collect().toMap
+    assert(audit == Map(
+      "kept" -> 3L, "no_cin" -> 1L, "no_resort" -> 1L,
+      "no_attachment" -> 2L, "price_below_min" -> 1L,
+      "date_below_min" -> 1L, "duplicate" -> 1L))
+  }
+
+  test("clean output: expected ids, first-seen duplicate kept") {
+    val kept = CleanFilter.clean(typed, companies, resorts, params)
+    assert(kept.select("id").as[String].collect().toSet
+      == Set("100001", "100005", "100010"))
+    // D1 first-seen: the earlier innerId of the duplicate pair survives
+    assert(kept.where($"id" === "100005").select("innerId")
+      .as[String].head() == "900005")
+  }
+
+  test("F27 repair: ' nan,' size parses to null, https link classified") {
+    val row = typed.where($"id" === "100006")
+      .select(explode($"prilohy").as("a")).select("a.*").head()
+    assert(row.isNullAt(row.fieldIndex("sizeBytes")))
+    assert(row.isNullAt(row.fieldIndex("url"))) // no https element
+    assert(row.getAs[String]("attId") == "500007")
+  }
+
+  // ---- A5/A6: tagging + subject + dictionary ----
+
+  private lazy val corpus =
+    Sources.readTextCorpus(spark, s"$fx/contracts_text")
+  private lazy val keywords = {
+    val lines = scala.io.Source.fromFile(s"$fx/keywords.txt")("UTF-8")
+      .getLines().toSeq
+    lines.flatMap { l =>
+      val parts = l.split(",").map(_.trim)
+      parts.tail.map(k => (parts.head, k))
+    }.toDF("category", "keyword")
+  }
+
+  test("corpus scan derives contract_id from the directory (S8/F23)") {
+    val ids = corpus.select("contract_id").distinct()
+      .as[String].collect().toSet
+    assert(ids == Set("100001", "100002", "100003"))
+  }
+
+  test("tagging: str.count semantics and zero-hit filter (A1/A2/P8/O1)") {
+    val tagged = Tagging.tagLong(corpus, keywords)
+    val hits = tagged.where($"contract_id" === "100001")
+      .groupBy().agg(sum($"hits")).head().getLong(0)
+    assert(hits > 0)
+    val ranked = Tagging.ranked(corpus, keywords,
+      CleanFilter.clean(typed, companies, resorts, params))
+    // only kept+tagged contracts appear; 100003 has zero hits
+    assert(!ranked.select("contract_id").as[String].collect()
+      .contains("100003"))
+  }
+
+  test("wide export pivots only at the edge (F29)") {
+    val wide = Tagging.exportWide(Tagging.tagLong(corpus, keywords))
+    assert(wide.columns.contains("vyskyty"))
+    assert(wide.columns.exists(_.startsWith("Pozícia_")))
+  }
+
+  test("subject extraction: heading, fallback, Nenájdené (O6/F5)") {
+    val subj = Subject.extract(corpus)
+      .as[(String, String)].collect().toMap
+    assert(subj("100001").startsWith("Predmet zmluvy"))
+    assert(subj("100002").toLowerCase.startsWith("úvodné ustanovenia"))
+    assert(subj("100003") == Subject.NotFound)
+  }
+
+  test("dictionary mining: known words excluded, OOV mined (A4/F21/F22)") {
+    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
+      .withColumnRenamed("value", "word")
+      .where(!$"word".rlike("^[0-9]+$")) // drop the count header line
+    val mined = Dictionary.mineSpecialWords(corpus, dic, minCount = 0L)
+      .select("word").as[String].collect().toSet
+    assert(mined.contains("aaaa"))       // OOV
+    assert(!mined.contains("zmluva"))    // in dictionary
+  }
+
+  // ---- A7: tables pipeline (07 + 09) ----
+
+  private lazy val tableKws = TablesPipeline.Keywords(
+    position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
+    header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
+    priceHeader = Seq("cena", "dph", "€"))
+
+  private lazy val allCells = Seq(1, 2, 3).map { n =>
+    TablesPipeline.readTableCsv(spark,
+      s"$fx/tables/100001/table_zmluva_100001_$n.csv", "100001", n)
+  }.reduce(_ union _).cache()
+
+  private lazy val spellDict = {
+    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
+      .withColumnRenamed("value", "word")
+      .where(!$"word".rlike("^[0-9]+$"))
+    val kwWords = keywords.select(explode(split(lower($"keyword"), " "))
+      .as("word"))
+    dic.union(kwWords) // reference: dictionaries ∪ keywords (09:85,134)
+  }
+
+  test("S7: multiline quoted cell survives the CSV scan") {
+    val t3 = allCells.where($"table_no" === 3)
+    assert(t3.select(max($"row_idx")).head().getInt(0) == 2) // 3 rows
+    assert(t3.where($"cell".contains("viacriadkova\nbunka")).count() == 1)
+  }
+
+  test("H1/P14: header detected by keyword score, VAT flag set") {
+    val hdr = TablesPipeline.tableHeader(allCells, tableKws)
+      .orderBy($"table_no")
+    val rows = hdr.collect()
+    assert(rows(0).getAs[Boolean]("has_header"))   // table 1: score 3 > 2
+    assert(rows(0).getAs[Boolean]("vat_incl"))
+    assert(!rows(2).getAs[Boolean]("has_header"))  // table 3: no keywords
+  }
+
+  test("P10/P11/P12/H2/H3/P13: column stats drive drops and the price gate") {
+    val dataCells = allCells.where($"row_idx" > 0) // stats on data rows
+    val stats = TablesPipeline.columnStats(dataCells, spellDict, tableKws)
+    val hdr = TablesPipeline.tableHeader(allCells, tableKws)
+    val gate = TablesPipeline.tableGate(stats, hdr)
+
+    val t2stats = stats.where($"table_no" === 2).collect()
+      .map(r => r.getAs[Int]("col_idx") -> r).toMap
+    assert(t2stats(1).getAs[Boolean]("empty_col"))   // 'prazdny' column
+    assert(t2stats(2).getAs[Boolean]("dummy_col"))   // gibberish column
+    assert(!t2stats(0).getAs[Boolean]("dummy_col"))  // position names known
+    assert(t2stats(3).getAs[Boolean]("numeric_col")) // price column
+
+    val gates = gate.collect().map(r =>
+      r.getAs[Int]("table_no") -> r.getAs[Boolean]("price_table")).toMap
+    assert(gates == Map(1 -> true, 2 -> true, 3 -> false))
+
+    val cleaned = TablesPipeline.cleanedCells(dataCells, stats, gate)
+    // table 3 gated out; empty+dummy columns of table 2 dropped
+    assert(cleaned.where($"table_no" === 3).count() == 0)
+    assert(cleaned.where($"table_no" === 2 && $"col_idx".isin(1, 2))
+      .count() == 0)
+  }
+
+  test("A5/D5: suggested keywords accumulate ratio, exclude existing") {
+    val dataCells = allCells.where($"row_idx" > 0)
+    val stats = TablesPipeline.columnStats(dataCells, spellDict, tableKws)
+    val hdr = TablesPipeline.tableHeader(allCells, tableKws)
+    val gate = TablesPipeline.tableGate(stats, hdr)
+    val sugg = TablesPipeline.suggestedKeywords(dataCells, stats, gate,
+        keywords)
+      .select("word").as[String].collect().toSet
+    assert(sugg.contains("senior"))      // new token from a position col
+    assert(!sugg.contains("konzultant")) // existing keyword excluded
+  }
+
+  test("P9/A3: relevance filter keeps keyword-bearing tables only") {
+    val rel = TablesPipeline.relevantTables(allCells, keywords)
+      .select("table_no").as[Int].collect().toSet
+    assert(rel.contains(1))
+    assert(!rel.contains(3))
+  }
+}

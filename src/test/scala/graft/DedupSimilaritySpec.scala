@@ -1,0 +1,50 @@
+package graft
+
+import graft.ops.{DedupOps, SimilarityOps}
+
+/** Dedup/similarity invariants at sf0.001. */
+class DedupSimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("exact dedup: canonical ids are fixpoints and group sizes >= 1") {
+    val d = DedupOps.dedupExact(spark, sf0001)
+    assert(d.where($"canonical_id" > $"doc_id").count() == 0)
+    assert(d.where($"group_size" < 1).count() == 0)
+    // canonical rows are never marked dup
+    assert(d.where($"doc_id" === $"canonical_id" && $"is_dup").count() == 0)
+  }
+
+  test("minhash: verified jaccard is within (0, 1] and symmetric-free (a < b)") {
+    val m = DedupOps.minhashLsh(spark, sf0001).cache()
+    assert(m.where($"jaccard" <= 0 || $"jaccard" > 1).count() == 0)
+    assert(m.where($"doc_a" >= $"doc_b").count() == 0)
+    // banding with 2x4 on a self-similar corpus must surface candidates
+    assert(m.count() > 0)
+  }
+
+  test("simhash: 16-bit range and identical docs hash equal") {
+    val sh = DedupOps.simhash(spark, sf0001)
+    assert(sh.where($"simhash" < 0 || $"simhash" > 65535).count() == 0)
+    assert(sh.count() == Tables.documents(spark, sf0001).count())
+  }
+
+  test("cosine top-k: k rows per vector, similarity in [-1, 1], self excluded") {
+    val t = SimilarityOps.cosineTopK(spark, sf0001).cache()
+    assert(t.where($"vec_id" === $"neighbor_id").count() == 0)
+    assert(t.where($"cos_sim" > 1.0 || $"cos_sim" < -1.0).count() == 0)
+    val perVec = t.groupBy($"vec_id").count()
+    assert(perVec.where($"count" =!= 5).count() == 0)
+  }
+
+  test("IVF top-k is a subset-ranking of brute force within the bucket") {
+    val ivf = SimilarityOps.annIvf(spark, sf0001)
+    val emb = Tables.embeddings(spark, sf0001)
+      .select($"vec_id", $"label")
+    // every IVF neighbor shares the query's label (bucket restriction)
+    val joined = ivf
+      .join(emb, "vec_id")
+      .join(emb.select($"vec_id".as("neighbor_id"), $"label".as("nl")),
+        "neighbor_id")
+    assert(joined.where($"label" =!= $"nl").count() == 0)
+  }
+}

@@ -1,0 +1,36 @@
+package graft
+
+import graft.ops.StatsOps
+import graft.streaming.StreamOps
+
+/** Streaming/batch equivalence (SURVEY.md §2.9): the streaming window
+  * aggregate in complete mode must equal the batch aggregate, and the
+  * watermarked dedup must keep exactly the distinct key set. */
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("streaming window agg (complete mode) equals batch aggregation") {
+    val stream = StreamOps.streamEventWindows(spark, sf0001)
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    val batch = StatsOps.eventWindows(spark, sf0001)
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    assert(stream.count() == batch.count())
+    assert(stream.except(batch).count() == 0)
+    assert(batch.except(stream).count() == 0)
+  }
+
+  test("streaming dedup emits one row per distinct key") {
+    val d = StreamOps.streamDedup(spark, sf0001)
+    val expected = Tables.events(spark, sf0001)
+      .select("user_id", "event_type").distinct().count()
+    assert(d.count() == expected)
+  }
+
+  test("multimodal decode stub is deterministic and schema-stable") {
+    val a = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
+    val b = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
+    assert(a.schema == b.schema)
+    assert(a.except(b).count() == 0)
+    assert(a.count() == Tables.documents(spark, sf0001).count())
+  }
+}

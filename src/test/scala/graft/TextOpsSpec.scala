@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.TextOps
+
+/** Tokenizer/sort/TF properties (SURVEY.md §5.2-5.3). */
+class TextOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("natural sort: src2 ranks before src10") {
+    val ranks = TextOps.naturalSort(spark, sf0001)
+      .select($"source", $"natural_rank")
+      .as[(String, Int)].collect().toMap
+    assert(ranks("src2") < ranks("src10"))
+    assert(ranks("src9") < ranks("src11"))
+  }
+
+  test("tokenizer drops empty tokens and non-letters") {
+    val toks = Seq("a-b  c!! d").toDF("text")
+      .select(explode(expr(
+        "filter(split(lower(text), '[^a-z]+'), w -> w <> '')")).as("w"))
+      .as[String].collect().toSeq
+    assert(toks == Seq("a", "b", "c", "d"))
+  }
+
+  test("TF is invariant under document concatenation order") {
+    graft.functions.Functions.register(spark)
+    val df1 = Seq("spark join spark").toDF("t")
+    val df2 = Seq("join spark spark").toDF("t")
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select(graft.functions.Functions
+        .countOccurrences($"t", lit("spark")).as("h"))
+        .head().getLong(0)
+    assert(hits(df1) == hits(df2))
+    assert(hits(df1) == 2L)
+  }
+
+  test("doc rank is a permutation: every doc exactly once, ranks 1..n") {
+    val r = TextOps.docRank(spark, sf0001)
+    val n = r.count()
+    assert(r.select("doc_id").distinct().count() == n)
+    val ranks = r.select("rank").as[Int].collect().sorted
+    assert(ranks.head == 1 && ranks.last == n)
+  }
+
+  test("subject extraction snippet starts at the matched keyword") {
+    val snips = TextOps.subjectExtract(spark, sf0001)
+      .select("snippet").as[String].collect()
+    assert(snips.nonEmpty)
+    assert(snips.forall(_.startsWith("order")))
+  }
+}
