@@ -56,6 +56,9 @@ object SparkEntry {
       ("q33_media_features", MultimodalOps.mediaFeatures _, None),
       ("q34_stream_windows", StreamOps.streamEventWindows _, Some(StreamOps.streamEventWindowsSql)),
       ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
+      ("q37_approx_distinct",
+        ((s, d) => LayoutOps.approxDistinct(s, d)): (SparkSession, String) => DataFrame,
+        None),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

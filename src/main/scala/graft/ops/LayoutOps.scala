@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+
+/** Storage-layout operators for the 100 TB deployment (SURVEY.md §4
+  * "partitioned layout `date=` / bucketed by contract id"): the
+  * date-partitioned landing layout the reference's daily dumps imply
+  * (00_download_CRZ_DB.py:179-219), plus salting for skewed keys.
+  */
+object LayoutOps {
+
+  /** Write a frame date-partitioned (`month=YYYY-MM/`). Readers that
+    * filter on `month` prune partitions at planning time — verified by
+    * LayoutSpec via PartitionFilters in the scan plan. */
+  def writeDatePartitioned(df: DataFrame, tsCol: String,
+      path: String): Unit =
+    df.withColumn("month", date_format(col(tsCol), "yyyy-MM"))
+      .write.mode("overwrite")
+      .partitionBy("month")
+      .parquet(path)
+
+  /** q36 — partition-pruned scan over the date layout: only the
+    * requested months are read. Returns per-month counts. */
+  def prunedMonthlyCounts(s: SparkSession, path: String,
+      months: Seq[String]): DataFrame =
+    s.read.parquet(path)
+      .where(col("month").isin(months: _*))
+      .groupBy(col("month")).agg(count(lit(1)).as("n"))
+
+  /** Salted aggregation for skewed keys: two-phase groupBy — first on
+    * (key, salt) to spread a hot key over `buckets` reducers, then on
+    * key. AQE handles moderate skew automatically; this is the
+    * explicit pattern for pathological keys (SURVEY.md §7.1.8).
+    */
+  def saltedCount(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
+    df.withColumn("_salt", pmod(spark_partition_id()
+        + monotonically_increasing_id(), lit(buckets)))
+      .groupBy(col(keyCol), col("_salt"))
+      .agg(count(lit(1)).as("partial"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("partial")).as("n"))
+
+  /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
+    * notes as absent from the reference; a north-star extension):
+    * exact vs approx distinct users per event type. approx values are
+    * engine-specific, so the driver records the weaker rows-only check
+    * for this query. */
+  def approxDistinct(s: SparkSession, dir: String): DataFrame =
+    Tables.events(s, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)")
+          .as("value_p50_p95"))
+}

@@ -26,6 +26,13 @@ object Probe {
     val df = name match {
       case "streamDedup" => graft.streaming.StreamOps.streamDedup(spark, sfDir)
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
+      case "layoutDemo" =>
+        val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
+        graft.ops.LayoutOps.writeDatePartitioned(
+          graft.Tables.orders(spark, sfDir), "o_orderdate", out)
+        println(s"PROBE layout written to $out")
+        graft.ops.LayoutOps.prunedMonthlyCounts(spark, out,
+          Seq("1996-01", "1996-02"))
       case q => SparkEntry.queries(q)(spark, sfDir)
     }
     if (explain) df.explain("formatted")

@@ -1,0 +1,47 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.LayoutOps
+
+/** Layout + skew operators: partition pruning must be visible in the
+  * plan, salted counts must equal plain counts. */
+class LayoutSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("date-partitioned write prunes partitions on read") {
+    val out = Files.createTempDirectory("graft_layout").toString
+    LayoutOps.writeDatePartitioned(
+      Tables.orders(spark, sf0001), "o_orderdate", out)
+    val q = LayoutOps.prunedMonthlyCounts(spark, out,
+      Seq("1996-01", "1996-02"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+    // only the two requested months come back, with correct totals
+    val got = q.as[(String, Long)].collect().toMap
+    val expected = Tables.orders(spark, sf0001)
+      .withColumn("m", date_format($"o_orderdate", "yyyy-MM"))
+      .where($"m".isin("1996-01", "1996-02"))
+      .groupBy($"m").count().as[(String, Long)].collect().toMap
+    assert(got == expected)
+  }
+
+  test("salted count equals plain count for every key") {
+    val ev = Tables.events(spark, sf0001)
+    val salted = LayoutOps.saltedCount(ev, "event_type", 8)
+      .as[(String, Long)].collect().toMap
+    val plain = ev.groupBy($"event_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(salted == plain)
+  }
+
+  test("approx distinct is within rsd of exact") {
+    val d = LayoutOps.approxDistinct(spark, sf0001)
+    val bad = d.where(
+      abs($"approx_users" - $"exact_users") >
+        $"exact_users" * 0.2 + lit(2)).count()
+    assert(bad == 0)
+  }
+}
