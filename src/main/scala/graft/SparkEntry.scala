@@ -56,6 +56,9 @@ object SparkEntry {
       ("q33_media_features", MultimodalOps.mediaFeatures _, None),
       ("q34_stream_windows", StreamOps.streamEventWindows _, Some(StreamOps.streamEventWindowsSql)),
       ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
+      ("q38_sessionize", StatsOps.sessionize _, Some(StatsOps.sessionizeSql)),
+      ("q39_cube", StatsOps.cubeCounts _, Some(StatsOps.cubeCountsSql)),
+      ("q40_percentiles", StatsOps.percentiles _, Some(StatsOps.percentilesSql)),
       ("q37_approx_distinct",
         ((s, d) => LayoutOps.approxDistinct(s, d)): (SparkSession, String) => DataFrame,
         None),

@@ -21,6 +21,15 @@ object Schemas {
     StructField("url", StringType),
     StructField("attDate", TimestampType)))
 
+  /** Supplement (Dodatok) — SURVEY.md §1.1: a second nested list per
+    * contract with attachments nested one level deeper
+    * (03_download_contracts.py:637-653). */
+  val supplement: StructType = StructType(Seq(
+    StructField("suppId", StringType),
+    StructField("name", StringType),
+    StructField("suppDate", TimestampType),
+    StructField("attachments", ArrayType(attachment))))
+
   val contract: StructType = StructType(Seq(
     StructField("nazov", StringType),
     StructField("id", StringType),
@@ -41,7 +50,8 @@ object Schemas {
     StructField("rezort", StringType),
     StructField("typ", StringType),
     StructField("stav", StringType),
-    StructField("prilohy", ArrayType(attachment))))
+    StructField("prilohy", ArrayType(attachment)),
+    StructField("dodatky", ArrayType(supplement))))
 
   /** Raw pipe-CSV header of the legacy interchange format
     * (01_parse_xml.py:202-203; FIXTURES.md A2) — everything string,
@@ -86,5 +96,16 @@ object Schemas {
       StructField("size", StringType),
       StructField("link", StringType),
       StructField("date", StringType))))),
+    StructField("dodatok", ArrayType(StructType(Seq(
+      StructField("suppId", StringType),
+      StructField("name", StringType),
+      StructField("date", StringType),
+      StructField("priloha", ArrayType(StructType(Seq(
+        StructField("attId", StringType),
+        StructField("name", StringType),
+        StructField("filename", StringType),
+        StructField("size", StringType),
+        StructField("link", StringType),
+        StructField("date", StringType))))))))),
     StructField("_corrupt_record", StringType)))
 }

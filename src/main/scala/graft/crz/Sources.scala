@@ -83,7 +83,20 @@ object Sources {
           CASE WHEN a.link LIKE 'http%' THEN a.link
                ELSE concat('https://www.crz.gov.sk/data/att/', a.filename)
           END AS url,
-          try_cast(a.date AS TIMESTAMP) AS attDate))""").as("prilohy"))
+          try_cast(a.date AS TIMESTAMP) AS attDate))""").as("prilohy"),
+      // dodatky: the 2-level nesting of SURVEY.md §1.1 — supplements
+      // whose attachments are typed with the same rules as prilohy
+      expr("""transform(coalesce(dodatok, array()), d -> struct(
+          d.suppId AS suppId, d.name AS name,
+          try_cast(d.date AS TIMESTAMP) AS suppDate,
+          transform(coalesce(d.priloha, array()), a -> struct(
+            a.attId AS attId, a.name AS name, a.filename AS filename,
+            try_cast(a.size AS BIGINT) AS sizeBytes,
+            CASE WHEN a.link LIKE 'http%' THEN a.link
+                 ELSE concat('https://www.crz.gov.sk/data/att/', a.filename)
+            END AS url,
+            try_cast(a.date AS TIMESTAMP) AS attDate)) AS attachments))""")
+        .as("dodatky"))
   }
 
   /** F27 — legacy stringified-Python-list attachment cell →

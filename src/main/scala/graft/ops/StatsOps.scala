@@ -94,6 +94,81 @@ object StatsOps {
       .withColumn("avg_k", $"sum_k".cast("double") / $"n".cast("double"))
   }
 
+  /** q38 — sessionization: split each user's event stream at >30 min
+    * gaps (lag + running sum of boundary flags), then per-session
+    * aggregates. The windowed form of the reference's per-day batch
+    * seam; integer epoch-micros arithmetic keeps the oracle exact. */
+  def sessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables.events(s, dir)
+      .withColumn("prev_us", lag(unix_micros($"ts"), 1).over(byUser))
+      .withColumn("boundary",
+        when($"prev_us".isNull ||
+          unix_micros($"ts") - $"prev_us" > 1800L * 1000000L, 1L)
+          .otherwise(0L))
+      .withColumn("session_id", sum($"boundary").over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy($"user_id", $"session_id")
+      .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec2($"value")).as("sum_value"))
+  }
+
+  val sessionizeSql: String =
+    """SELECT user_id, session_id, MIN(ts) AS session_start,
+      |       MAX(ts) AS session_end, COUNT(*) AS n_events,
+      |       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |FROM (
+      |  SELECT user_id, ts, value,
+      |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |      ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM (
+      |    SELECT *,
+      |      CASE WHEN prev_us IS NULL
+      |             OR epoch_us(ts) - prev_us > 1800 * 1000000
+      |           THEN 1 ELSE 0 END AS boundary
+      |    FROM (SELECT event_id, user_id, ts, value,
+      |            LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |              ORDER BY ts, event_id) AS prev_us
+      |          FROM events))
+      |) GROUP BY user_id, session_id""".stripMargin
+
+  /** q39 — CUBE grouping (the grouping-sets family SURVEY.md §2.4
+    * notes as absent from the reference): order counts and exact sums
+    * over all subsets of (status, priority). */
+  def cubeCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .cube($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n"), sum(dec2($"o_totalprice")).as("sum_price"))
+  }
+
+  val cubeCountsSql: String =
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
+      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+      |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
+      .stripMargin
+
+  /** q40 — exact interpolated percentiles per group (median family,
+    * absent from the reference per SURVEY.md §2.4). Both engines use
+    * linear interpolation on identical sorted doubles. */
+  def percentiles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .groupBy($"o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        expr("percentile(o_totalprice, 0.5)").as("p50"),
+        expr("percentile(o_totalprice, 0.95)").as("p95"))
+  }
+
+  val percentilesSql: String =
+    """SELECT o_orderstatus, COUNT(*) AS n,
+      |  quantile_cont(o_totalprice, 0.5) AS p50,
+      |  quantile_cont(o_totalprice, 0.95) AS p95
+      |FROM orders GROUP BY o_orderstatus""".stripMargin
+
   val jsonPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
       |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,

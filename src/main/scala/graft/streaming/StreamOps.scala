@@ -65,6 +65,62 @@ object StreamOps {
       |       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** Per-user running state for [[statefulUserCounts]]. */
+  final case class UserState(n: Long, total: Double)
+  final case class UserCount(user_id: Long, n_events: Long,
+      sum_value: Double)
+
+  /** Custom stateful streaming (SURVEY.md §2.9:
+    * KeyValueGroupedDataset.flatMapGroupsWithState): per-user running
+    * event counts/sums held in GroupState across micro-batches —
+    * the state-store-backed form of an accumulating dimension. State
+    * size is O(users), bounded; on a cluster the state store is
+    * RocksDB-backed and checkpointed. Exercised by StreamingSpec
+    * against the batch aggregate.
+    */
+  def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = s.read.parquet(s"$dir/events.parquet")
+    val stream = s.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(dir)
+      .select($"user_id", $"value")
+      .as[(Long, Double)]
+    val updated = stream
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[UserState, UserCount](
+        OutputMode.Update, GroupStateTimeout.NoTimeout) {
+        case (user, rows, state: GroupState[UserState]) =>
+          val prev = state.getOption.getOrElse(UserState(0L, 0.0))
+          var n = prev.n
+          var total = prev.total
+          rows.foreach { case (_, v) => n += 1; total += v }
+          state.update(UserState(n, total))
+          Iterator.single(UserCount(user, n, total))
+      }
+    val name = s"graft_stateful_counts_${runId.incrementAndGet()}"
+    val q = updated.toDF().writeStream
+      .outputMode("update")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try {
+      q.processAllAvailable()
+    } finally {
+      q.stop()
+    }
+    // update mode appends one row per (batch, user); keep the latest
+    // per user for the final answer
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"user_id").orderBy($"n_events".desc)
+    s.table(name)
+      .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
+      .where($"rn" === 1).drop("rn")
+  }
+
   /** Streaming first-seen dedup (D1/D2 as a continuous query,
     * SURVEY.md §2.9): watermarked dropDuplicates on the key columns.
     * State is bounded by the watermark horizon. Exercised by the

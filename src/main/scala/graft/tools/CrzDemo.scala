@@ -92,7 +92,13 @@ object CrzDemo {
       s"price_tables=${gate.where($"price_table").count()} " +
       s"suggested=${sugg.count()} -> $out/suggested_keywords")
 
-    println(s"[xml-typed] ${typedXml.count()} contracts from XML")
+    val suppAtts = typedXml
+      .select(explode($"dodatky").as("d"))
+      .select(explode($"d.attachments").as("a"))
+      .select($"a.filename", $"a.sizeBytes")
+    println(s"[xml-typed] ${typedXml.count()} contracts from XML; " +
+      s"supplement attachments (2-level nesting): ${suppAtts.count()}")
+    suppAtts.show(3, truncate = false)
     spark.stop()
   }
 }

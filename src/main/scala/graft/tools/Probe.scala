@@ -25,6 +25,8 @@ object Probe {
     spark.sparkContext.setLogLevel("ERROR")
     val df = name match {
       case "streamDedup" => graft.streaming.StreamOps.streamDedup(spark, sfDir)
+      case "statefulUserCounts" =>
+        graft.streaming.StreamOps.statefulUserCounts(spark, sfDir)
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
         val out = java.nio.file.Files.createTempDirectory("graft_layout").toString

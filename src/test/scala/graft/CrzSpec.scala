@@ -29,6 +29,22 @@ class CrzSpec extends SparkSpec {
       == "https://www.crz.gov.sk/data/att/priloha_100001.pdf")
   }
 
+  test("dodatky: 2-level nesting survives typing (supplement → attachments)") {
+    val (good, _) = Sources.readContractsXml(spark, s"$fx/xml")
+    val t = Sources.typedContracts(good)
+    val suppAtts = t.where($"id" === "100001")
+      .select(explode($"dodatky").as("d"))
+      .select($"d.suppId", $"d.name", explode($"d.attachments").as("a"))
+      .select($"suppId", $"a.filename", $"a.sizeBytes")
+      .collect()
+    assert(suppAtts.length == 1)
+    assert(suppAtts.head.getAs[String]("suppId") == "700001")
+    assert(suppAtts.head.getAs[Long]("sizeBytes") == 2048L)
+    // contracts without supplements get an empty array, not null
+    assert(t.where($"id" === "100002")
+      .select(size($"dodatky")).head().getInt(0) == 0)
+  }
+
   // ---- A2: legacy CSV + clean-filter cascade (02_filter_by_CIN) ----
 
   private lazy val typed = Sources.typedFromLegacyCsv(

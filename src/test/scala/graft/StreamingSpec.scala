@@ -26,6 +26,18 @@ class StreamingSpec extends SparkSpec {
     assert(d.count() == expected)
   }
 
+  test("stateful flatMapGroupsWithState counts equal batch aggregates") {
+    val st = StreamOps.statefulUserCounts(spark, sf0001)
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n_events"))
+    val joined = st.select($"user_id", $"n_events")
+      .join(batch.withColumnRenamed("n_events", "expected"), "user_id")
+    assert(joined.where($"n_events" =!= $"expected").count() == 0)
+    assert(st.count() == batch.count())
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val a = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
     val b = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
