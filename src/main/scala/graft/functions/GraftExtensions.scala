@@ -1,0 +1,32 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** SparkSessionExtensions hook: registers graft's native expressions
+  * at session build time, so `spark.sql("SELECT count_occurrences(...)")`
+  * works without any imperative register() call —
+  *
+  *   SparkSession.builder().withExtensions(new GraftExtensions)...
+  *
+  * or via config on any stock build:
+  *
+  *   --conf spark.sql.extensions=graft.functions.GraftExtensions
+  *
+  * (SURVEY.md §7.3 custom-vs-built-in: expressions are the only
+  * extension point this engine needs — no custom Rule or Strategy.)
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("count_occurrences"),
+      new ExpressionInfo(classOf[CountOccurrences].getName,
+        "count_occurrences"),
+      (exprs: Seq[Expression]) => CountOccurrences(exprs(0), exprs(1))))
+    e.injectFunction((
+      FunctionIdentifier("vec_dot"),
+      new ExpressionInfo(classOf[FloatDot].getName, "vec_dot"),
+      (exprs: Seq[Expression]) => FloatDot(exprs(0), exprs(1))))
+  }
+}

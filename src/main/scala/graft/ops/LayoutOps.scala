@@ -43,6 +43,31 @@ object LayoutOps {
       .groupBy(col(keyCol))
       .agg(sum(col("partial")).as("n"))
 
+  /** Bucketed co-located join: write both sides bucketed+sorted on the
+    * join key (`bucketBy` + `saveAsTable`), then join — Spark reads
+    * bucket metadata and skips BOTH shuffle exchanges. At 100 TB this
+    * is the difference between re-shuffling the fact table on every
+    * join and a one-time layout cost (SURVEY.md §4 "bucketed by
+    * contract id"). Returns the joined aggregate; LayoutSpec asserts
+    * the plan has no Exchange over the scans.
+    */
+  def bucketedJoin(s: SparkSession, dir: String, buckets: Int): DataFrame = {
+    Tables.lineitem(s, dir)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_li_bucketed")
+    Tables.orders(s, dir)
+      .write.mode("overwrite")
+      .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_o_bucketed")
+    val li = s.table("graft_li_bucketed")
+    val o = s.table("graft_o_bucketed")
+    li.join(o, li("l_orderkey") === o("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
+  }
+
   /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
     * notes as absent from the reference; a north-star extension):
     * exact vs approx distinct users per event type. approx values are

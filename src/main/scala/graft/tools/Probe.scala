@@ -16,8 +16,11 @@ object Probe {
     val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
     val explain = args.contains("--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // extensions applied at build time — count_occurrences/vec_dot are
+    // SQL-visible with no imperative register() (GraftExtensions)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
+      .withExtensions(new graft.functions.GraftExtensions)
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -27,6 +30,13 @@ object Probe {
       case "streamDedup" => graft.streaming.StreamOps.streamDedup(spark, sfDir)
       case "statefulUserCounts" =>
         graft.streaming.StreamOps.statefulUserCounts(spark, sfDir)
+      case "extensionsDemo" =>
+        // no Functions.register anywhere on this path: the functions
+        // resolve because GraftExtensions injected them at build time
+        spark.sql(
+          "SELECT count_occurrences('aaaa', 'aa') AS cnt, " +
+            "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
+            "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot")
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
         val out = java.nio.file.Files.createTempDirectory("graft_layout").toString

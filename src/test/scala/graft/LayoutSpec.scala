@@ -37,6 +37,29 @@ class LayoutSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("bucketed join avoids shuffle exchanges on both sides") {
+    // bucketing disables broadcast here so the bucket metadata is what
+    // kills the exchanges, not a broadcast fallback
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val q = graft.ops.LayoutOps.bucketedJoin(spark, sf0001, 4)
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // the only exchange allowed is the final groupBy aggregation —
+      // neither scan side may re-shuffle on the join key
+      val joinPart = plan.substring(plan.indexOf("SortMergeJoin"))
+      assert(!joinPart.contains("Exchange hashpartitioning(l_orderkey"))
+      assert(!joinPart.contains("Exchange hashpartitioning(o_orderkey"))
+      // and the result is right
+      val total = q.agg(org.apache.spark.sql.functions.sum($"n")).head().getLong(0)
+      assert(total == Tables.lineitem(spark, sf0001).count())
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
+      spark.sql("DROP TABLE IF EXISTS graft_o_bucketed")
+    }
+  }
+
   test("approx distinct is within rsd of exact") {
     val d = LayoutOps.approxDistinct(spark, sf0001)
     val bad = d.where(
