@@ -320,6 +320,48 @@ object Relational {
         $"last_orderkey", $"last_orderdate")
   }
 
+  /** q41 — global top-k (TakeOrderedAndProject: sort + limit fuse into
+    * a per-partition top-k + single merge — no global sort at scale).
+    * Deterministic tiebreak on the key. */
+  def topOrders(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.orders(s, dir)
+      .orderBy($"o_totalprice".desc, $"o_orderkey")
+      .limit(10)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val topOrdersSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** q42 — orders above their customer's average (the correlated
+    * scalar subquery family). Implemented as the scalable join-agg
+    * form — one aggregation + one equi-join — while the oracle states
+    * it as the correlated subquery; both must agree exactly, which the
+    * decimal average guarantees. */
+  def aboveCustomerAvg(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val o = Tables.orders(s, dir)
+    // price > avg ⟺ price * n > sum — cross-multiplied so the compare
+    // is exact decimal arithmetic (division scales differ per engine)
+    val byCust = o.groupBy($"o_custkey".as("ck"))
+      .agg(sum(dec2($"o_totalprice")).as("sum_price"),
+        count(lit(1)).as("n"))
+    o.join(byCust, $"o_custkey" === $"ck")
+      .where(dec2($"o_totalprice") * $"n" > $"sum_price")
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+  }
+
+  val aboveCustomerAvgSql: String =
+    """SELECT o_orderkey, o_custkey, o_totalprice FROM orders o
+      |WHERE CAST(o_totalprice AS DECIMAL(12,2)) *
+      |      (SELECT COUNT(*) FROM orders o2
+      |       WHERE o2.o_custkey = o.o_custkey) >
+      |      (SELECT SUM(CAST(o3.o_totalprice AS DECIMAL(12,2)))
+      |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"""
+      .stripMargin
+
   val asofJoinSql: String =
     """SELECT event_id, user_id, ts, last_orderkey, last_orderdate FROM (
       |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,

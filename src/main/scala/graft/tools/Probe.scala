@@ -30,6 +30,9 @@ object Probe {
       case "streamDedup" => graft.streaming.StreamOps.streamDedup(spark, sfDir)
       case "statefulUserCounts" =>
         graft.streaming.StreamOps.statefulUserCounts(spark, sfDir)
+      case "bucketedJoin" =>
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        graft.ops.LayoutOps.bucketedJoin(spark, sfDir, 4)
       case "extensionsDemo" =>
         // no Functions.register anywhere on this path: the functions
         // resolve because GraftExtensions injected them at build time
