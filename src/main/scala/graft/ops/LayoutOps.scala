@@ -52,6 +52,15 @@ object LayoutOps {
     * the plan has no Exchange over the scans.
     */
   def bucketedJoin(s: SparkSession, dir: String, buckets: Int): DataFrame = {
+    // a previous session may have left the managed-table locations on
+    // disk without catalog entries (in-memory catalog) — clear both
+    Seq("graft_li_bucketed", "graft_o_bucketed").foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = new org.apache.hadoop.fs.Path(
+        s.sessionState.conf.warehousePath, t)
+      val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(loc)) fs.delete(loc, true)
+    }
     Tables.lineitem(s, dir)
       .write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
