@@ -61,6 +61,9 @@ object SparkEntry {
       ("q38_sessionize", StatsOps.sessionize _, Some(StatsOps.sessionizeSql)),
       ("q39_cube", StatsOps.cubeCounts _, Some(StatsOps.cubeCountsSql)),
       ("q40_percentiles", StatsOps.percentiles _, Some(StatsOps.percentilesSql)),
+      ("q43_pivot_export", TextOps.pivotExport _, Some(TextOps.pivotExportSql)),
+      ("q44_string_funcs", TextOps.stringFuncs _, Some(TextOps.stringFuncsSql)),
+      ("q45_array_funcs", TextOps.arrayFuncs _, Some(TextOps.arrayFuncsSql)),
       ("q37_approx_distinct",
         ((s, d) => LayoutOps.approxDistinct(s, d)): (SparkSession, String) => DataFrame,
         None),

@@ -289,6 +289,90 @@ object TextOps {
       |  n_chars
       |FROM documents""".stripMargin
 
+  /** q43 — pivot at the export edge (F29: the reference's wide
+    * dict→columns row assembly, 04_tag_text_contracts.py:176-178):
+    * per-user event-type counts as a fixed wide schema. The pivot
+    * value list is explicit, so the schema is stable at any scale. */
+  def pivotExport(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val types = Seq("click", "error", "purchase", "signup", "view")
+    graft.Tables.events(s, dir)
+      .groupBy($"user_id")
+      .pivot("event_type", types)
+      .agg(count(lit(1)))
+      .na.fill(0L, types)
+  }
+
+  val pivotExportSql: String =
+    """SELECT user_id,
+      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
+      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
+      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
+      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
+      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |FROM events GROUP BY user_id""".stripMargin
+
+  /** q44 — scalar string-function surface (SURVEY.md §2.7 F1-F9,
+    * F24-F26): one projection exercising case, trim, pad, reverse,
+    * token extraction and regex pulls, oracle-matched per function. */
+  def stringFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.part(s, dir).select(
+      $"p_partkey",
+      upper($"p_name").as("name_upper"),
+      reverse($"p_name").as("name_rev"),
+      lpad($"p_brand", 10, "#").as("brand_padded"),
+      substring_index($"p_name", " ", 1).as("first_word"),
+      regexp_extract($"p_brand", "([0-9]+)", 1).as("brand_num"),
+      translate($"p_type", "AEIOU", "aeiou").as("type_tr"),
+      concat_ws("/", $"p_brand", $"p_type").as("brand_type"),
+      length($"p_name").cast("long").as("name_len"))
+  }
+
+  val stringFuncsSql: String =
+    """SELECT p_partkey, upper(p_name) AS name_upper,
+      |  reverse(p_name) AS name_rev,
+      |  lpad(p_brand, 10, '#') AS brand_padded,
+      |  split_part(p_name, ' ', 1) AS first_word,
+      |  regexp_extract(p_brand, '([0-9]+)', 1) AS brand_num,
+      |  translate(p_type, 'AEIOU', 'aeiou') AS type_tr,
+      |  concat_ws('/', p_brand, p_type) AS brand_type,
+      |  CAST(length(p_name) AS BIGINT) AS name_len
+      |FROM part""".stripMargin
+
+  /** q45 — array-function surface (§2.7 F27/F28 family as native
+    * arrays): tokenize, sort, dedupe, slice, membership — the
+    * higher-order operations the typed attachment arrays rely on. */
+  def arrayFuncs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("words",
+        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
+      .select(
+        $"doc_id",
+        size($"words").cast("long").as("n_words"),
+        size(array_distinct($"words")).cast("long").as("n_uniq"),
+        array_join(slice(array_sort(array_distinct($"words")), 1, 3), ",")
+          .as("first3_sorted"),
+        array_contains($"words", "spark").as("has_spark"),
+        element_at($"words", 1).as("first_word"),
+        element_at($"words", -1).as("last_word"))
+  }
+
+  val arrayFuncsSql: String =
+    """SELECT doc_id,
+      |  CAST(len(words) AS BIGINT) AS n_words,
+      |  CAST(len(list_distinct(words)) AS BIGINT) AS n_uniq,
+      |  array_to_string(list_sort(list_distinct(words))[1:3], ',')
+      |    AS first3_sorted,
+      |  list_contains(words, 'spark') AS has_spark,
+      |  words[1] AS first_word,
+      |  words[-1] AS last_word
+      |FROM (SELECT doc_id,
+      |        list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |          w -> w <> '') AS words
+      |      FROM documents)""".stripMargin
+
   /** q29 — document fingerprinting (whitespace-normalized content hash
     * + a prefix hash; the rolling-hash fingerprint family). */
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
