@@ -44,6 +44,19 @@ class TextOpsSpec extends SparkSpec {
     assert(ranks.head == 1 && ranks.last == n)
   }
 
+  test("pivot zero-fill activates when a pivot value is absent for a key") {
+    // synthetic frame: user 2 has no 'b' events — the q43 fill path
+    // (dormant on the dense sf corpus) must yield 0, not null
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "a")).toDF("user_id", "event_type")
+    val wide = df.groupBy($"user_id")
+      .pivot("event_type", Seq("a", "b"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("a", "b"))
+    val u2 = wide.where($"user_id" === 2L).head()
+    assert(u2.getAs[Long]("a") == 1L)
+    assert(u2.getAs[Long]("b") == 0L)
+  }
+
   test("subject extraction snippet starts at the matched keyword") {
     val snips = TextOps.subjectExtract(spark, sf0001)
       .select("snippet").as[String].collect()
