@@ -47,6 +47,7 @@ object SparkEntry {
       ("q24_cosine_topk", SimilarityOps.cosineTopK _, Some(SimilarityOps.cosineTopKSql)),
       ("q25_ann_ivf", SimilarityOps.annIvf _, Some(SimilarityOps.annIvfSql)),
       ("q41_top_orders", Relational.topOrders _, Some(Relational.topOrdersSql)),
+      ("q46_interval_join", Relational.intervalJoin _, Some(Relational.intervalJoinSql)),
       ("q42_above_cust_avg", Relational.aboveCustomerAvg _, Some(Relational.aboveCustomerAvgSql)),
       ("q26_lang_id", TextOps.langId _, Some(TextOps.langIdSql)),
       ("q27_quality_score", TextOps.qualityScore _, Some(TextOps.qualityScoreSql)),

@@ -362,6 +362,47 @@ object Relational {
       |       FROM orders o3 WHERE o3.o_custkey = o.o_custkey)"""
       .stripMargin
 
+  /** q46 — bounded interval join (the range-join family SURVEY.md §2.3
+    * lists as absent from the reference): for each error event, the
+    * number of click events by the same user in the preceding 2 hours.
+    *
+    *
+    * Implemented the scalable way: both sides bucketed to the
+    * 2-hour grid and joined on (user, bucket) with the click side
+    * expanded to its two candidate buckets — an equi-join whose
+    * per-key width is bounded by the window, never an O(n·m) range
+    * scan. The oracle states the naive correlated range join; results
+    * must agree exactly.
+    */
+  def intervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val ev = Tables.events(s, dir)
+    val win = 7200L * 1000000L // 2 h in micros
+    val errors = ev.where($"event_type" === "error")
+      .select($"event_id", $"user_id", unix_micros($"ts").as("t_err"),
+        expr(s"unix_micros(ts) div $win").as("bucket"))
+    // each click can only match errors in its own or the next bucket
+    val clicks = ev.where($"event_type" === "click")
+      .select($"user_id", unix_micros($"ts").as("t_click"))
+      .withColumn("bucket",
+        explode(array(expr(s"t_click div $win"), expr(s"t_click div $win") + 1)))
+    errors.join(clicks, Seq("user_id", "bucket"), "left")
+      .withColumn("hit",
+        when($"t_click".isNotNull &&
+          $"t_click" >= $"t_err" - win && $"t_click" < $"t_err", 1L)
+          .otherwise(0L))
+      .groupBy($"event_id", $"user_id")
+      .agg(sum($"hit").as("n_recent_clicks"))
+  }
+
+  val intervalJoinSql: String =
+    """SELECT e.event_id, e.user_id,
+      |  (SELECT COUNT(*) FROM events c
+      |   WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |     AND epoch_us(c.ts) >= epoch_us(e.ts) - CAST(7200000000 AS BIGINT)
+      |     AND epoch_us(c.ts) < epoch_us(e.ts)) AS n_recent_clicks
+      |FROM events e WHERE e.event_type = 'error'""".stripMargin
+
   val asofJoinSql: String =
     """SELECT event_id, user_id, ts, last_orderkey, last_orderdate FROM (
       |  SELECT e.event_id, e.user_id, e.ts, o.o_orderkey AS last_orderkey,

@@ -137,6 +137,17 @@ class CrzSpec extends SparkSpec {
     assert(!mined.contains("zmluva"))    // in dictionary
   }
 
+  test("pipe-CSV sink/scan round-trip preserves rows (S5/S6)") {
+    val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
+    val original = Sources.readPipeCsv(spark, s"$fx/CRZ_DB_with_supplements.csv")
+    Sources.writePipeCsv(original, out)
+    val back = spark.read.option("sep", "|").option("header", "true")
+      .schema(crz.Schemas.rawCsv).csv(out)
+    assert(back.count() == original.count())
+    assert(original.except(back).count() == 0)
+    assert(back.except(original).count() == 0)
+  }
+
   // ---- A7: tables pipeline (07 + 09) ----
 
   private lazy val tableKws = TablesPipeline.Keywords(
