@@ -1,0 +1,86 @@
+package graft.crz
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The one-call orchestration of the reference's stage graph
+  * (SURVEY.md §3): a user of the CRZ-scraper scripts switches to
+  * `Pipeline.run(spark, config)` and gets every stage output as a
+  * DataFrame bundle — no CSV-files-on-disk choreography between
+  * stages (the reference's only composition mechanism).
+  *
+  * Stage wiring mirrors 00→01→02→04_tag→05→08 (+ 06→07→09 when table
+  * fixtures are present); each output is lazily composable Spark, so
+  * downstream stages fuse where Catalyst allows.
+  */
+object Pipeline {
+
+  /** Where the inputs live + filter params (the reference's
+    * interactive prompts, made declarative). */
+  final case class Config(
+      xmlDir: String,
+      legacyCsv: Option[String],
+      companiesCsv: String,
+      resortsCsv: String,
+      keywordsTxt: String,
+      corpusDir: String,
+      dictionaryDic: String,
+      params: CleanFilter.Params = CleanFilter.Params())
+
+  /** Every stage output of one pipeline run. */
+  final case class Outputs(
+      contracts: DataFrame,        // typed, pre-filter (01)
+      quarantined: DataFrame,      // corrupt XML rows (01)
+      clean: DataFrame,            // kept contracts (02)
+      audit: DataFrame,            // discard-reason counts (02/A10)
+      tagged: DataFrame,           // long-form keyword hits (04_tag)
+      ranked: DataFrame,           // ranked relevant contracts (04_tag)
+      subjects: DataFrame,         // per-contract subject (08)
+      minedWords: DataFrame)       // OOV dictionary (05_build)
+
+  def loadKeywords(s: SparkSession, path: String): DataFrame = {
+    import s.implicits._
+    val lines = scala.io.Source.fromFile(path)("UTF-8").getLines().toSeq
+    lines.flatMap { l =>
+      val p = l.split(",").map(_.trim)
+      p.tail.map(k => (p.head, k))
+    }.toDF("category", "keyword")
+  }
+
+  def run(s: SparkSession, cfg: Config): Outputs = {
+    // stage 01 — XML scan + typing (with quarantine)
+    val (goodXml, quarantined) = Sources.readContractsXml(s, cfg.xmlDir)
+    val fromXml = Sources.typedContracts(goodXml)
+    // optional legacy CSV union (same canonical schema minus dodatky)
+    val contracts = cfg.legacyCsv match {
+      case Some(p) =>
+        val legacy = Sources.typedFromLegacyCsv(Sources.readPipeCsv(s, p))
+          .withColumn("dodatky", expr(
+            "CAST(array() AS array<struct<suppId:string,name:string," +
+              "suppDate:timestamp,attachments:array<struct<attId:string," +
+              "name:string,filename:string,sizeBytes:bigint,url:string," +
+              "attDate:timestamp>>>>)"))
+        fromXml.unionByName(legacy.select(fromXml.columns.map(col): _*))
+      case None => fromXml
+    }
+    // stage 02 — clean-filter cascade + audit
+    val companies = s.read.option("sep", "|").option("header", "true")
+      .csv(cfg.companiesCsv)
+    val resorts = s.read.option("header", "true").csv(cfg.resortsCsv)
+    val clean = CleanFilter.clean(contracts, companies, resorts, cfg.params)
+    val audit = CleanFilter.audit(contracts, companies, resorts, cfg.params)
+    // stage 04_tag — corpus tagging + ranking
+    val corpus = Sources.readTextCorpus(s, cfg.corpusDir)
+    val keywords = loadKeywords(s, cfg.keywordsTxt)
+    val tagged = Tagging.tagLong(corpus, keywords)
+    val ranked = Tagging.ranked(corpus, keywords, clean)
+    // stage 08 — subjects; stage 05_build — dictionary mining
+    val subjects = Subject.extract(corpus)
+    val dic = s.read.text(cfg.dictionaryDic)
+      .withColumnRenamed("value", "word")
+      .where(!col("word").rlike("^[0-9]+$"))
+    val minedWords = Dictionary.mineSpecialWords(corpus, dic, minCount = 0L)
+    Outputs(contracts, quarantined, clean, audit, tagged, ranked,
+      subjects, minedWords)
+  }
+}

@@ -26,48 +26,34 @@ object CrzDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // entry point 1: XML → typed → clean
-    val (good, bad) = Sources.readContractsXml(spark, s"$fx/xml")
-    println(s"[xml] parsed=${good.count()} quarantined=${bad.count()}")
-    val typedXml = Sources.typedContracts(good)
-
-    val typed = Sources.typedFromLegacyCsv(
-      Sources.readPipeCsv(spark, s"$fx/CRZ_DB_with_supplements.csv"))
-    val companies = spark.read.option("sep", "|").option("header", "true")
-      .csv(s"$fx/companies.csv")
-    val resorts = spark.read.option("header", "true").csv(s"$fx/resorts.csv")
-    val params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))
-    val audit = CleanFilter.audit(typed, companies, resorts, params)
+    // entry points 1+2 — the one-call facade over the stage graph
+    val run = Pipeline.run(spark, Pipeline.Config(
+      xmlDir = s"$fx/xml",
+      legacyCsv = Some(s"$fx/CRZ_DB_with_supplements.csv"),
+      companiesCsv = s"$fx/companies.csv",
+      resortsCsv = s"$fx/resorts.csv",
+      keywordsTxt = s"$fx/keywords.txt",
+      corpusDir = s"$fx/contracts_text",
+      dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
+      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))))
+    val typedXml = Sources.typedContracts(
+      Sources.readContractsXml(spark, s"$fx/xml")._1)
+    println(s"[xml] contracts=${run.contracts.count()} " +
+      s"quarantined=${run.quarantined.count()}")
     println("[audit]")
-    audit.orderBy($"reason").collect()
+    run.audit.orderBy($"reason").collect()
       .foreach(r => println(s"  ${r.getString(0)} -> ${r.getLong(1)}"))
-    val clean = CleanFilter.clean(typed, companies, resorts, params)
-    Sources.writePipeCsv(clean.drop("prilohy"), s"$out/CRZ_DB_clean")
-    println(s"[clean] kept=${clean.count()} -> $out/CRZ_DB_clean")
-
-    // entry point 2: corpus tagging + subject
-    val corpus = Sources.readTextCorpus(spark, s"$fx/contracts_text")
-    val keywords = {
-      val lines = scala.io.Source.fromFile(s"$fx/keywords.txt")("UTF-8")
-        .getLines().toSeq
-      lines.flatMap { l =>
-        val p = l.split(",").map(_.trim); p.tail.map(k => (p.head, k))
-      }.toDF("category", "keyword")
-    }
-    val ranked = Tagging.ranked(corpus, keywords, clean)
-    println(s"[tagged] ranked=${ranked.count()}")
-    ranked.select("rank", "contract_id", "vyskyty", "pocetZnakov")
+    Sources.writePipeCsv(run.clean.drop("prilohy", "dodatky"),
+      s"$out/CRZ_DB_clean")
+    println(s"[clean] kept=${run.clean.count()} -> $out/CRZ_DB_clean")
+    println(s"[tagged] ranked=${run.ranked.count()}")
+    run.ranked.select("rank", "contract_id", "vyskyty", "pocetZnakov")
       .orderBy($"rank").show(5, truncate = false)
-    val subjects = Subject.extract(corpus)
-    subjects.show(3, truncate = 40)
-
-    // dictionary mining
-    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
-      .withColumnRenamed("value", "word")
-      .where(!$"word".rlike("^[0-9]+$"))
-    val mined = Dictionary.mineSpecialWords(corpus, dic, minCount = 0L)
-    Sources.writeDictionary(mined, "word", "n", s"$out/special_dict")
-    println(s"[dict] mined=${mined.count()} -> $out/special_dict")
+    run.subjects.show(3, truncate = 40)
+    Sources.writeDictionary(run.minedWords, "word", "n", s"$out/special_dict")
+    println(s"[dict] mined=${run.minedWords.count()} -> $out/special_dict")
+    val corpus = Sources.readTextCorpus(spark, s"$fx/contracts_text")
+    val keywords = Pipeline.loadKeywords(spark, s"$fx/keywords.txt")
 
     // entry point 3: tables
     val cells = Seq(1, 2, 3).map { n =>
@@ -78,6 +64,9 @@ object CrzDemo {
       position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
       header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
       priceHeader = Seq("cena", "dph", "€"))
+    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
+      .withColumnRenamed("value", "word")
+      .where(!$"word".rlike("^[0-9]+$"))
     val spellDict = dic.union(
       keywords.select(explode(split(lower($"keyword"), " ")).as("word")))
     val dataCells = cells.where($"row_idx" > 0)

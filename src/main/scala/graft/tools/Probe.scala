@@ -33,6 +33,21 @@ object Probe {
       case "bucketedJoin" =>
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
         graft.ops.LayoutOps.bucketedJoin(spark, sfDir, 4)
+      case "crzXmlOnly" =>
+        // Pipeline facade with no legacy CSV: XML-only contract source
+        val run = graft.crz.Pipeline.run(spark, graft.crz.Pipeline.Config(
+          xmlDir = "fixtures/crz/xml",
+          legacyCsv = None,
+          companiesCsv = "fixtures/crz/companies.csv",
+          resortsCsv = "fixtures/crz/resorts.csv",
+          keywordsTxt = "fixtures/crz/keywords.txt",
+          corpusDir = "fixtures/crz/contracts_text",
+          dictionaryDic = "fixtures/crz/dictionary/sk_fixture.dic",
+          params = graft.crz.CleanFilter.Params(
+            minPrice = new java.math.BigDecimal("1000"))))
+        println(s"PROBE contracts=${run.contracts.count()} " +
+          s"quarantined=${run.quarantined.count()} kept=${run.clean.count()}")
+        run.audit
       case "extensionsDemo" =>
         // no Functions.register anywhere on this path: the functions
         // resolve because GraftExtensions injected them at build time

@@ -137,6 +137,29 @@ class CrzSpec extends SparkSpec {
     assert(!mined.contains("zmluva"))    // in dictionary
   }
 
+  test("Pipeline.run wires every stage over XML + legacy CSV inputs") {
+    val out = Pipeline.run(spark, Pipeline.Config(
+      xmlDir = s"$fx/xml",
+      legacyCsv = Some(s"$fx/CRZ_DB_with_supplements.csv"),
+      companiesCsv = s"$fx/companies.csv",
+      resortsCsv = s"$fx/resorts.csv",
+      keywordsTxt = s"$fx/keywords.txt",
+      corpusDir = s"$fx/contracts_text",
+      dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
+      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))))
+    assert(out.contracts.count() == 12)   // 2 XML + 10 legacy rows
+    assert(out.quarantined.count() == 1)
+    // 100001 appears in both sources => one extra 'duplicate' vs the
+    // CSV-only cascade; kept set unchanged
+    assert(out.clean.select("id").as[String].collect().toSet
+      == Set("100001", "100005", "100010"))
+    assert(out.audit.as[(String, Long)].collect().toMap
+      .getOrElse("duplicate", 0L) == 2L)
+    assert(out.ranked.count() >= 1)
+    assert(out.subjects.count() == 3)
+    assert(out.minedWords.count() > 0)
+  }
+
   test("pipe-CSV sink/scan round-trip preserves rows (S5/S6)") {
     val out = java.nio.file.Files.createTempDirectory("graft_csv").toString
     val original = Sources.readPipeCsv(spark, s"$fx/CRZ_DB_with_supplements.csv")
