@@ -62,6 +62,7 @@ object SparkEntry {
       ("q38_sessionize", StatsOps.sessionize _, Some(StatsOps.sessionizeSql)),
       ("q39_cube", StatsOps.cubeCounts _, Some(StatsOps.cubeCountsSql)),
       ("q40_percentiles", StatsOps.percentiles _, Some(StatsOps.percentilesSql)),
+      ("q47_sliding_windows", StatsOps.slidingWindows _, Some(StatsOps.slidingWindowsSql)),
       ("q43_pivot_export", TextOps.pivotExport _, Some(TextOps.pivotExportSql)),
       ("q44_string_funcs", TextOps.stringFuncs _, Some(TextOps.stringFuncsSql)),
       ("q45_array_funcs", TextOps.arrayFuncs _, Some(TextOps.arrayFuncsSql)),

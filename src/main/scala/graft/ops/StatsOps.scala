@@ -80,6 +80,29 @@ object StatsOps {
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
+  /** q47 — sliding event-time windows (2 h window, 1 h slide): every
+    * event lands in exactly two windows. The oracle derives the same
+    * two window starts arithmetically — sliding windows are just an
+    * explode over the slide grid, which is also how they scale (each
+    * event contributes window/slide rows, no cross-window state). */
+  def slidingWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.events(s, dir)
+      .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
+      .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
+  }
+
+  val slidingWindowsSql: String =
+    """SELECT ws, event_type, COUNT(*) AS n,
+      |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |FROM (
+      |  SELECT unnest([date_trunc('hour', ts),
+      |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
+      |         event_type, value
+      |  FROM events
+      |) GROUP BY ws, event_type""".stripMargin
+
   /** q31 — semi-structured property extraction (F27's
     * stringified-structure parsing, 03_download_contracts.py:619-646,
     * as a regexp pull from the JSON props column). */
