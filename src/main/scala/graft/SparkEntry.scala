@@ -44,6 +44,7 @@ object SparkEntry {
       ("q21_minhash_lsh", DedupOps.minhashLsh _, Some(DedupOps.minhashLshSql)),
       ("q22_simhash", DedupOps.simhash _, Some(DedupOps.simhashSql)),
       ("q23_ngram_jaccard", DedupOps.ngramJaccard _, Some(DedupOps.ngramJaccardSql)),
+      ("q48_dedup_clusters", DedupOps.dedupClusters _, Some(DedupOps.dedupClustersSql)),
       ("q24_cosine_topk", SimilarityOps.cosineTopK _, Some(SimilarityOps.cosineTopKSql)),
       ("q25_ann_ivf", SimilarityOps.annIvf _, Some(SimilarityOps.annIvfSql)),
       ("q41_top_orders", Relational.topOrders _, Some(Relational.topOrdersSql)),

@@ -106,11 +106,14 @@ object DedupOps {
           ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
   }
 
-  val minhashLshSql: String = {
+  /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
+    * oracles (ends after `sizes`; callers append further CTEs or the
+    * final SELECT). */
+  private def minhashCtes: String = {
     val minCols = (0 until nPerms)
       .map(p => s"min(substr(md5(shingle), ${p * 4 + 1}, 4)) m$p")
       .mkString(", ")
-    s"""WITH sh AS (
+    s"""WITH RECURSIVE sh AS (
        |  SELECT DISTINCT doc_id, substr(t, i, 5) AS shingle
        |  FROM (SELECT doc_id, lower(text) AS t,
        |          unnest(range(1, length(text)-3)) AS i
@@ -131,14 +134,82 @@ object DedupOps {
        |  JOIN sh sa ON sa.doc_id = c.doc_a
        |  JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
        |  GROUP BY c.doc_a, c.doc_b
-       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)
-       |SELECT i.doc_a, i.doc_b,
-       |  CAST(n_inter AS DOUBLE) / CAST(za.n + zb.n - n_inter AS DOUBLE)
-       |    AS jaccard
-       |FROM inter i
-       |JOIN sizes za ON za.doc_id = i.doc_a
-       |JOIN sizes zb ON zb.doc_id = i.doc_b""".stripMargin
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+       |pairs AS (
+       |  SELECT i.doc_a, i.doc_b,
+       |    CAST(n_inter AS DOUBLE) / CAST(za.n + zb.n - n_inter AS DOUBLE)
+       |      AS jaccard
+       |  FROM inter i
+       |  JOIN sizes za ON za.doc_id = i.doc_a
+       |  JOIN sizes zb ON zb.doc_id = i.doc_b)""".stripMargin
   }
+
+  val minhashLshSql: String =
+    minhashCtes + "\nSELECT doc_a, doc_b, jaccard FROM pairs"
+
+  /** q48 — near-duplicate clusters: connected components of the
+    * verified-Jaccard graph (edges ≥ threshold), each doc labeled with
+    * its component's minimum doc_id — the canonical-document selection
+    * step that closes the dedup pipeline (keep canonical, drop the
+    * rest).
+    *
+    * Implementation: iterative min-label propagation over the
+    * symmetric edge list — labels converge to the component minimum in
+    * O(diameter) distributed join+agg rounds; the driver loop only
+    * checks a change counter, all data stays distributed. (At 100 TB
+    * with adversarial diameters, swap the propagation for
+    * large-star/small-star — same contract.) The oracle computes the
+    * same labels via recursive reachability closure.
+    */
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val threshold = 0.8
+    val edges = minhashLsh(s, dir)
+      .where($"jaccard" >= threshold)
+      .select($"doc_a", $"doc_b")
+      .cache()
+    val sym = edges
+      .union(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
+    var labels = sym.select($"doc_a".as("id")).distinct()
+      .withColumn("label", $"id")
+      .cache()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 20) {
+      val viaNeighbors = sym
+        .join(labels, sym("doc_a") === labels("id"))
+        .select($"doc_b".as("id"), $"label")
+      val next = labels.select($"id", $"label").union(viaNeighbors)
+        .groupBy($"id").agg(min($"label").as("label"))
+        .cache()
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.id") === col("o.id"))
+        .where(col("n.label") =!= col("o.label"))
+        .count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    labels.select($"id".as("doc_id"), $"label".as("canonical_id"))
+      .withColumn("is_canonical", $"doc_id" === $"canonical_id")
+  }
+
+  val dedupClustersSql: String =
+    minhashCtes +
+      """,
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.8
+        |),
+        |reach(id, r) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON e.doc_a = reach.r
+        |)
+        |SELECT id AS doc_id, MIN(r) AS canonical_id,
+        |       id = MIN(r) AS is_canonical
+        |FROM reach GROUP BY id""".stripMargin
 
   private val simhashBits = 16
 
