@@ -179,9 +179,11 @@ object DedupOps {
       val viaNeighbors = sym
         .join(labels, sym("doc_a") === labels("id"))
         .select($"doc_b".as("id"), $"label")
+      // localCheckpoint truncates lineage — without it every round's
+      // plan embeds all previous rounds and analysis time compounds
       val next = labels.select($"id", $"label").union(viaNeighbors)
         .groupBy($"id").agg(min($"label").as("label"))
-        .cache()
+        .localCheckpoint(true)
       changed = next.as("n")
         .join(labels.as("o"), col("n.id") === col("o.id"))
         .where(col("n.label") =!= col("o.label"))
