@@ -55,6 +55,50 @@ class FunctionsSpec extends SparkSpec {
     assert(r == 1.5 * 3.0 + 2.0 * 0.5)
   }
 
+  test("property: tokenizer partitions the input (tokens + separators = input)") {
+    // SURVEY.md §5.3: splitting on [^a-z]+ and re-interleaving the
+    // separator runs must reconstruct the original string
+    val gen = Gen.listOf(Gen.oneOf(Gen.oneOf('a', 'b', 'z'),
+      Gen.oneOf(' ', ',', '1', '!'))).map(_.mkString)
+    (1 to 300).foreach { _ =>
+      val s0 = gen.sample.getOrElse("")
+      val tokens = s0.split("[^a-z]+", -1)
+      val seps = s0.split("[a-z]+", -1)
+      assert(tokens.map(_.length).sum + seps.map(_.length).sum == s0.length,
+        s"input='$s0'")
+      // and no token contains a separator character
+      assert(tokens.forall(_.forall(c => c >= 'a' && c <= 'z')))
+    }
+  }
+
+  test("property: field-wise recursive date compare equals timestamp >=") {
+    // SURVEY.md §5.3 / §1.2: the reference's recursive Y/M/D/h/m/s
+    // integer descent (02_filter_by_CIN.py:70-89) is equivalent to a
+    // plain timestamp comparison for all well-formed dates — the
+    // equivalence that justifies replacing it with TimestampType.
+    val genDate = for {
+      y <- Gen.choose(2010, 2023); m <- Gen.choose(1, 12)
+      d <- Gen.choose(1, 28); h <- Gen.choose(0, 23)
+      mi <- Gen.choose(0, 59); se <- Gen.choose(0, 59)
+    } yield (y, m, d, h, mi, se)
+    def recursiveGte(a: (Int, Int, Int, Int, Int, Int),
+        b: (Int, Int, Int, Int, Int, Int)): Boolean = {
+      val la = a.productIterator.toList.asInstanceOf[List[Int]]
+      val lb = b.productIterator.toList.asInstanceOf[List[Int]]
+      la.zip(lb).find { case (x, y) => x != y }
+        .forall { case (x, y) => x > y }
+    }
+    def fmt(t: (Int, Int, Int, Int, Int, Int)) =
+      f"${t._1}%04d-${t._2}%02d-${t._3}%02d ${t._4}%02d:${t._5}%02d:${t._6}%02d"
+    (1 to 300).foreach { _ =>
+      val a = genDate.sample.get
+      val b = genDate.sample.get
+      val viaTs = java.sql.Timestamp.valueOf(fmt(a))
+        .compareTo(java.sql.Timestamp.valueOf(fmt(b))) >= 0
+      assert(recursiveGte(a, b) == viaTs, s"a=${fmt(a)} b=${fmt(b)}")
+    }
+  }
+
   test("dotF kernel equals a left fold in double") {
     val a = Array(0.1f, 0.2f, 0.3f, 0.7f)
     val b = Array(1.0f, -1.0f, 0.5f, 2.0f)
