@@ -23,8 +23,9 @@ object CleanFilter {
     * 02_filter_by_CIN.py:109-168, as a config object). */
   final case class Params(
       minPrice: java.math.BigDecimal = java.math.BigDecimal.ZERO,
-      minDate: java.sql.Timestamp =
-        java.sql.Timestamp.valueOf("2011-01-01 00:00:00"),
+      // string, resolved via to_timestamp in the session time zone —
+      // a java.sql.Timestamp here would bind the JVM-default zone
+      minDate: String = "2011-01-01 00:00:00",
       requireAttachment: Boolean = true)
 
   private def normIco(c: Column): Column = regexp_replace(c, " ", "")
@@ -55,14 +56,11 @@ object CleanFilter {
       .withColumn("resort_ok",
         expr("exists(rnames, r -> contains(upper(replace(objednavatel, ' ', '')), r))"))
       .drop("rnames")
-    val w = Window.partitionBy(col("nazov"), col("id"))
-      .orderBy(col("datumZverejnenia"), col("innerId"))
-    withResort
-      .withColumn("rn", row_number().over(w))
-      .withColumn("reason",
-        // sequential filter cascade order preserved from 02:184-301:
-        // CIN membership, resort containment, attachments, price,
-        // date, dedup — first failing predicate names the discard.
+    // sequential filter cascade order preserved from 02:184-301:
+    // CIN membership, resort containment, attachments, price, date —
+    // first failing predicate names the discard.
+    val preDedup = withResort
+      .withColumn("pre_reason",
         when(!col("cin_ok"), "no_cin")
           .when(!col("resort_ok"), "no_resort")
           .when(lit(params.requireAttachment) &&
@@ -72,10 +70,24 @@ object CleanFilter {
           .when(col("cenaKonecna").isNull ||
             col("cenaKonecna") < lit(params.minPrice), "price_below_min")
           .when(col("datumZverejnenia").isNull ||
-            col("datumZverejnenia") < lit(params.minDate), "date_below_min")
+            col("datumZverejnenia") < to_timestamp(lit(params.minDate)),
+            "date_below_min")
+          .otherwise("kept"))
+    // dedup LAST and only among rows that survived the cascade —
+    // the reference's control_db only ever sees rows that passed the
+    // earlier filters (02:252-268), so a discarded earlier row must
+    // not shadow a later survivor.
+    val w = Window
+      .partitionBy(col("nazov"), col("id"),
+        (col("pre_reason") === "kept").as("survivor"))
+      .orderBy(col("datumZverejnenia"), col("innerId"))
+    preDedup
+      .withColumn("rn", row_number().over(w))
+      .withColumn("reason",
+        when(col("pre_reason") =!= "kept", col("pre_reason"))
           .when(col("rn") > 1, "duplicate")
           .otherwise("kept"))
-      .drop("rn", "cin_ok", "resort_ok")
+      .drop("rn", "cin_ok", "resort_ok", "pre_reason")
   }
 
   /** The cleaned table: kept rows only, ordered projection

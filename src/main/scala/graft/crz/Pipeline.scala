@@ -38,14 +38,16 @@ object Pipeline {
       subjects: DataFrame,         // per-contract subject (08)
       minedWords: DataFrame)       // OOV dictionary (05_build)
 
-  def loadKeywords(s: SparkSession, path: String): DataFrame = {
-    import s.implicits._
-    val lines = scala.io.Source.fromFile(path)("UTF-8").getLines().toSeq
-    lines.flatMap { l =>
-      val p = l.split(",").map(_.trim)
-      p.tail.map(k => (p.head, k))
-    }.toDF("category", "keyword")
-  }
+  /** keywords.txt (first CSV token = category) through the Spark text
+    * reader — works on any Hadoop-compatible path, no driver-side file
+    * handles. */
+  def loadKeywords(s: SparkSession, path: String): DataFrame =
+    s.read.text(path)
+      .select(split(col("value"), ",").as("parts"))
+      .select(trim(element_at(col("parts"), 1)).as("category"),
+        explode(expr("slice(parts, 2, size(parts) - 1)")).as("kw"))
+      .select(col("category"), trim(col("kw")).as("keyword"))
+      .where(col("keyword") =!= "")
 
   def run(s: SparkSession, cfg: Config): Outputs = {
     // stage 01 — XML scan + typing (with quarantine)
@@ -67,8 +69,12 @@ object Pipeline {
     val companies = s.read.option("sep", "|").option("header", "true")
       .csv(cfg.companiesCsv)
     val resorts = s.read.option("header", "true").csv(cfg.resortsCsv)
-    val clean = CleanFilter.clean(contracts, companies, resorts, cfg.params)
-    val audit = CleanFilter.audit(contracts, companies, resorts, cfg.params)
+    // one reason-classified frame feeds both outputs — clean and audit
+    // must not each re-run the joins/window over the contracts union
+    val reasons = CleanFilter
+      .withReason(contracts, companies, resorts, cfg.params).cache()
+    val clean = reasons.where(col("reason") === "kept").drop("reason")
+    val audit = reasons.groupBy(col("reason")).agg(count(lit(1)).as("n"))
     // stage 04_tag — corpus tagging + ranking
     val corpus = Sources.readTextCorpus(s, cfg.corpusDir)
     val keywords = loadKeywords(s, cfg.keywordsTxt)

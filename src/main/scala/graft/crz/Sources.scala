@@ -181,16 +181,19 @@ object Sources {
     * members → (contract_id, file, text). The id is the second-to-last
     * path segment (F23: 03_download_contracts.py:261-266). */
   def readTextCorpus(s: SparkSession, root: String): DataFrame = {
+    // wholetext: one row per file, so line order inside a document is
+    // the file's own order — a groupBy+collect_list reassembly would
+    // scramble lines whenever a file spans input splits.
     s.read.format("text")
+      .option("wholetext", "true")
       .option("pathGlobFilter", "*.txt")
       .option("recursiveFileLookup", "true")
       .load(root)
       .withColumn("path", input_file_name())
-      .withColumn("contract_id",
-        element_at(split(col("path"), "/"), -2))
-      .withColumn("file", element_at(split(col("path"), "/"), -1))
-      .groupBy(col("contract_id"), col("file"))
-      .agg(concat_ws("\n", collect_list(col("value"))).as("text"))
+      .select(
+        element_at(split(col("path"), "/"), -2).as("contract_id"),
+        element_at(split(col("path"), "/"), -1).as("file"),
+        col("value").as("text"))
   }
 
   /** S12 — dictionary sink: first line = word count, then words in

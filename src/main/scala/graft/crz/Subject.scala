@@ -14,8 +14,11 @@ object Subject {
   val NotFound = "Nenájdené"
 
   def extract(corpus: DataFrame): DataFrame = {
+    // deterministic file order (name-sorted) before concatenation
     val docs = corpus.groupBy(col("contract_id"))
-      .agg(concat_ws("\n", collect_list(col("text"))).as("t"))
+      .agg(expr(
+        "array_join(transform(sort_array(collect_list(struct(file, text)))," +
+          " x -> x.text), '\n')").as("t"))
     docs
       .withColumn("p1", locate("Predmet zmluvy", col("t")))
       .withColumn("p2", locate("úvodné ustanovenia", lower(col("t"))))

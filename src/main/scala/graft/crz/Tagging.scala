@@ -26,10 +26,13 @@ object Tagging {
   def tagLong(corpus: DataFrame, keywords: DataFrame): DataFrame = {
     val s = corpus.sparkSession
     Functions.register(s)
-    // per-contract casefolded text concat (04_tag:103-113); newline→space
+    // per-contract casefolded text concat (04_tag:103-113), files in
+    // name order — collect_list order alone is not deterministic
     val docs = corpus
       .groupBy(col("contract_id"))
-      .agg(lower(concat_ws(" ", collect_list(col("text")))).as("t"))
+      .agg(lower(expr(
+        "array_join(transform(sort_array(collect_list(struct(file, text)))," +
+          " x -> x.text), ' ')")).as("t"))
     docs.crossJoin(broadcast(keywords))
       .select(col("contract_id"), col("category"), col("keyword"),
         Functions.countOccurrences(col("t"), lower(col("keyword")))

@@ -192,6 +192,12 @@ object DedupOps {
       labels = next
       rounds += 1
     }
+    if (changed > 0)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"dedupClusters: propagation not converged after $rounds rounds " +
+          s"($changed labels still moving) — results approximate; raise " +
+          "the round cap or use large-star/small-star")
+    edges.unpersist()
     labels.select($"id".as("doc_id"), $"label".as("canonical_id"))
       .withColumn("is_canonical", $"doc_id" === $"canonical_id")
   }

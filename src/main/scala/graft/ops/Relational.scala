@@ -43,7 +43,7 @@ object Relational {
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "BUILDING")
     val base = o
       .filter($"o_totalprice" >= 1000.0 &&
-        $"o_orderdate" >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+        $"o_orderdate" >= to_timestamp(lit("1996-01-01 00:00:00")))
       .join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
     val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate", $"o_orderkey")
     base.withColumn("rn", row_number().over(w)).where($"rn" === 1)
@@ -70,7 +70,7 @@ object Relational {
   def pricingSummary(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.lineitem(s, dir)
-      .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
         sum(dec2($"l_quantity")).as("sum_qty"),
@@ -101,9 +101,9 @@ object Relational {
     import s.implicits._
     val cust = Tables.customer(s, dir).filter($"c_mktsegment" === "MACHINERY")
     val o = Tables.orders(s, dir)
-      .filter($"o_orderdate" < lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00")))
+      .filter($"o_orderdate" < to_timestamp(lit("1998-01-01 00:00:00")))
     val li = Tables.lineitem(s, dir)
-      .filter($"l_shipdate" > lit(java.sql.Timestamp.valueOf("1996-06-30 00:00:00")))
+      .filter($"l_shipdate" > to_timestamp(lit("1996-06-30 00:00:00")))
     li.join(o, li("l_orderkey") === o("o_orderkey"))
       .join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
@@ -150,7 +150,7 @@ object Relational {
     import s.implicits._
     val c = Tables.customer(s, dir)
     val o = Tables.orders(s, dir)
-      .filter($"o_orderdate" >= lit(java.sql.Timestamp.valueOf("2000-01-01 00:00:00")))
+      .filter($"o_orderdate" >= to_timestamp(lit("2000-01-01 00:00:00")))
     c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
       .select($"c_custkey", $"c_name", $"c_mktsegment")
   }

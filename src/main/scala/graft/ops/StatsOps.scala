@@ -110,7 +110,9 @@ object StatsOps {
     import s.implicits._
     Tables.events(s, dir)
       .withColumn("k",
-        regexp_extract($"props", "\"k\": ([0-9]+)", 1).cast("long"))
+        // try_cast: props without a "k" field extract '' — null, not
+        // an ANSI cast error
+        expr("try_cast(regexp_extract(props, '\"k\": ([0-9]+)', 1) AS BIGINT)"))
       .groupBy($"event_type")
       .agg(count(lit(1)).as("n"), sum($"k").as("sum_k"),
         max($"k").as("max_k"))
@@ -194,9 +196,9 @@ object StatsOps {
 
   val jsonPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
-      |  MAX(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
-      |  CAST(SUM(CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |  SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
       |FROM events GROUP BY event_type""".stripMargin
 }

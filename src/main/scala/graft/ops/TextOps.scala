@@ -167,15 +167,17 @@ object TextOps {
     val w = Window.orderBy($"src_num", $"source")
     Tables.documents(s, dir).select($"source").distinct()
       .withColumn("src_num",
-        regexp_extract($"source", "([0-9]+)", 1).cast("long"))
+        // try_cast: a name with no digit run extracts '' which must
+        // sort as null, not abort under ANSI
+        expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"))
       .withColumn("natural_rank", row_number().over(w))
   }
 
   val naturalSortSql: String =
-    """SELECT source, CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+    """SELECT source, TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
       |         AS src_num,
       |       ROW_NUMBER() OVER (
-      |         ORDER BY CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+      |         ORDER BY TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
       |                  source) AS natural_rank
       |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
 
@@ -355,8 +357,10 @@ object TextOps {
         array_join(slice(array_sort(array_distinct($"words")), 1, 3), ",")
           .as("first3_sorted"),
         array_contains($"words", "spark").as("has_spark"),
-        element_at($"words", 1).as("first_word"),
-        element_at($"words", -1).as("last_word"))
+        // try_element_at: an all-non-letter document has no words and
+        // must yield nulls, not an ANSI INVALID_ARRAY_INDEX error
+        try_element_at($"words", lit(1)).as("first_word"),
+        try_element_at($"words", lit(-1)).as("last_word"))
   }
 
   val arrayFuncsSql: String =

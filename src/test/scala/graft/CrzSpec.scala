@@ -86,14 +86,8 @@ class CrzSpec extends SparkSpec {
 
   private lazy val corpus =
     Sources.readTextCorpus(spark, s"$fx/contracts_text")
-  private lazy val keywords = {
-    val lines = scala.io.Source.fromFile(s"$fx/keywords.txt")("UTF-8")
-      .getLines().toSeq
-    lines.flatMap { l =>
-      val parts = l.split(",").map(_.trim)
-      parts.tail.map(k => (parts.head, k))
-    }.toDF("category", "keyword")
-  }
+  private lazy val keywords =
+    Pipeline.loadKeywords(spark, s"$fx/keywords.txt")
 
   test("corpus scan derives contract_id from the directory (S8/F23)") {
     val ids = corpus.select("contract_id").distinct()
@@ -135,6 +129,30 @@ class CrzSpec extends SparkSpec {
       .select("word").as[String].collect().toSet
     assert(mined.contains("aaaa"))       // OOV
     assert(!mined.contains("zmluva"))    // in dictionary
+  }
+
+  test("dedup only among cascade survivors: a discarded earlier row " +
+      "does not shadow a later valid row (02:252-268 semantics)") {
+    // same (nazov, id): the EARLIER row fails CIN, the LATER passes
+    // everything — reference keeps the later row because discarded
+    // rows never enter the control_db
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('Z', '1', 'a', '99999999', 'Ministerstvo financii SR',
+        |   TIMESTAMP '2021-01-01 00:00:00', CAST(100000 AS DECIMAL(18,2))),
+        |  ('Z', '1', 'b', '12345678', 'Ministerstvo financii SR',
+        |   TIMESTAMP '2021-01-02 00:00:00', CAST(100000 AS DECIMAL(18,2)))
+        |AS t(nazov, id, innerId, dodavatelIco, objednavatel,
+        |     datumZverejnenia, cenaKonecna)""".stripMargin)
+      .withColumn("prilohy", expr(
+        "array(named_struct('attId','1','name','n','filename','f'," +
+          "'sizeBytes',CAST(1 AS BIGINT),'url','https://x/f'," +
+          "'attDate',CAST(NULL AS TIMESTAMP)))"))
+    val reasons = CleanFilter.withReason(rows, companies, resorts,
+        CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")))
+      .select($"innerId", $"reason").as[(String, String)].collect().toMap
+    assert(reasons("a") == "no_cin")
+    assert(reasons("b") == "kept") // NOT 'duplicate'
   }
 
   test("Pipeline.run wires every stage over XML + legacy CSV inputs") {
