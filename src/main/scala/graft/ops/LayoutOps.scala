@@ -81,13 +81,14 @@ object LayoutOps {
     * notes as absent from the reference; a north-star extension):
     * exact vs approx distinct users per event type. approx values are
     * engine-specific, so the driver records the weaker rows-only check
-    * for this query. */
+    * for this query. The percentile sketch is flattened to scalar
+    * p50/p95 columns — an array column breaks the driver's row-sort. */
   def approxDistinct(s: SparkSession, dir: String): DataFrame =
     Tables.events(s, dir)
       .groupBy(col("event_type"))
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        expr("approx_percentile(value, array(0.5, 0.95), 1000)")
-          .as("value_p50_p95"))
+        expr("approx_percentile(value, 0.5, 1000)").as("value_p50"),
+        expr("approx_percentile(value, 0.95, 1000)").as("value_p95"))
 }

@@ -73,19 +73,24 @@ object Relational {
       .filter($"l_shipdate" <= to_timestamp(lit("1998-09-02 00:00:00")))
       .groupBy($"l_returnflag", $"l_linestatus")
       .agg(
-        sum(dec2($"l_quantity")).as("sum_qty"),
-        sum(dec2($"l_extendedprice")).as("sum_base_price"),
+        // sums accumulate as exact decimal (order-insensitive across any
+        // partitioning); the FINAL value is rendered as double so both
+        // engines hand the comparator the same scalar type — a decimal
+        // output would surface as Decimal('137431.00') vs 137431.0.
+        sum(dec2($"l_quantity")).cast("double").as("sum_qty"),
+        sum(dec2($"l_extendedprice")).cast("double").as("sum_base_price"),
         sum(dec2($"l_extendedprice") * dec2(lit(1) - $"l_discount"))
-          .as("sum_disc_price"),
+          .cast("double").as("sum_disc_price"),
         count(lit(1)).as("count_order"))
   }
 
   val pricingSummarySql: String =
     """SELECT l_returnflag, l_linestatus,
-      |  SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sum_qty,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sum_base_price,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |      CAST(1 - l_discount AS DECIMAL(12,2))) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |    AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS sum_disc_price,
       |  COUNT(*) AS count_order
       |FROM lineitem
       |WHERE l_shipdate <= TIMESTAMP '1998-09-02'
@@ -108,13 +113,13 @@ object Relational {
       .join(broadcast(cust), o("o_custkey") === cust("c_custkey"), "left_semi")
       .groupBy($"l_orderkey", $"o_orderdate", $"o_orderpriority")
       .agg(sum(dec2($"l_extendedprice") * dec2(lit(1) - $"l_discount"))
-        .as("revenue"))
+        .cast("double").as("revenue"))
   }
 
   val revenueJoinSql: String =
     """SELECT l_orderkey, o_orderdate, o_orderpriority,
-      |  SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
-      |      CAST(1 - l_discount AS DECIMAL(12,2))) AS revenue
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) *
+      |      CAST(1 - l_discount AS DECIMAL(12,2))) AS DOUBLE) AS revenue
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |WHERE o_orderdate < TIMESTAMP '1998-01-01'
       |  AND l_shipdate > TIMESTAMP '1996-06-30'
@@ -191,7 +196,7 @@ object Relational {
     val w = Window.partitionBy($"o_custkey")
       .orderBy($"o_totalprice".desc, $"o_orderkey")
     Tables.orders(s, dir)
-      .withColumn("rn", row_number().over(w)).where($"rn" <= 3)
+      .withColumn("rn", row_number().over(w).cast("long")).where($"rn" <= 3)
       .select($"o_custkey", $"o_orderkey", $"o_totalprice", $"rn")
   }
 
@@ -233,13 +238,14 @@ object Relational {
     import s.implicits._
     Tables.orders(s, dir)
       .groupBy($"o_orderpriority")
-      .agg(count(lit(1)).as("n_orders"), sum(dec2($"o_totalprice")).as("sum_price"))
-      .withColumn("sum_millions", $"sum_price".cast("double") / lit(1000000.0d))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(dec2($"o_totalprice")).cast("double").as("sum_price"))
+      .withColumn("sum_millions", $"sum_price" / lit(1000000.0d))
   }
 
   val sizeAccountingSql: String =
     """SELECT o_orderpriority, COUNT(*) AS n_orders,
-      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price,
       |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) / 1000000.0
       |    AS sum_millions
       |FROM orders GROUP BY o_orderpriority""".stripMargin

@@ -51,7 +51,7 @@ object SimilarityOps {
       .orderBy($"cos_sim".desc, $"neighbor_id")
     a.join(b, cond)
       .withColumn("cos_sim", dotCol("ea", "eb") / ($"na" * $"nb"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn", row_number().over(w).cast("long"))
       .where($"rn" <= k)
       .select($"vec_id", $"neighbor_id", $"rn", $"cos_sim")
   }

@@ -46,9 +46,10 @@ object StatsOps {
 
   val columnStatsSql: String =
     """SELECT colname, COUNT(*) AS n,
-      |  SUM(CASE WHEN trim(cell) <> '' THEN 1 ELSE 0 END) AS n_nonempty,
-      |  SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
-      |    AS n_numeric,
+      |  CAST(SUM(CASE WHEN trim(cell) <> '' THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nonempty,
+      |  CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_numeric,
       |  CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS numeric_ratio,
       |  CAST(SUM(CASE WHEN regexp_matches(cell, '^[0-9]+$') THEN 1 ELSE 0 END)
@@ -70,13 +71,13 @@ object StatsOps {
       .withColumn("ws", date_trunc("hour", $"ts"))
       .groupBy($"ws", $"event_type")
       .agg(count(lit(1)).as("n"),
-        sum(dec2($"value")).as("sum_value"),
+        sum(dec2($"value")).cast("double").as("sum_value"),
         countDistinct($"user_id").as("n_users"))
   }
 
   val eventWindowsSql: String =
     """SELECT date_trunc('hour', ts) AS ws, event_type, COUNT(*) AS n,
-      |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value,
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value,
       |  COUNT(DISTINCT user_id) AS n_users
       |FROM events GROUP BY 1, 2""".stripMargin
 
@@ -89,13 +90,14 @@ object StatsOps {
     import s.implicits._
     Tables.events(s, dir)
       .groupBy(window($"ts", "2 hours", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
       .select($"window.start".as("ws"), $"event_type", $"n", $"sum_value")
   }
 
   val slidingWindowsSql: String =
     """SELECT ws, event_type, COUNT(*) AS n,
-      |  SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |  CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT unnest([date_trunc('hour', ts),
       |                 date_trunc('hour', ts) - INTERVAL 1 HOUR]) AS ws,
@@ -138,13 +140,14 @@ object StatsOps {
       .groupBy($"user_id", $"session_id")
       .agg(min($"ts").as("session_start"), max($"ts").as("session_end"),
         count(lit(1)).as("n_events"),
-        sum(dec2($"value")).as("sum_value"))
+        sum(dec2($"value")).cast("double").as("sum_value"))
   }
 
   val sessionizeSql: String =
-    """SELECT user_id, session_id, MIN(ts) AS session_start,
+    """SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+      |       MIN(ts) AS session_start,
       |       MAX(ts) AS session_end, COUNT(*) AS n_events,
-      |       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM (
       |  SELECT user_id, ts, value,
       |    SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
@@ -167,12 +170,13 @@ object StatsOps {
     import s.implicits._
     Tables.orders(s, dir)
       .cube($"o_orderstatus", $"o_orderpriority")
-      .agg(count(lit(1)).as("n"), sum(dec2($"o_totalprice")).as("sum_price"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"o_totalprice")).cast("double").as("sum_price"))
   }
 
   val cubeCountsSql: String =
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n,
-      |  SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS sum_price
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
       |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)"""
       .stripMargin
 
@@ -196,7 +200,8 @@ object StatsOps {
 
   val jsonPropsSql: String =
     """SELECT event_type, COUNT(*) AS n,
-      |  SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS sum_k,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |       AS BIGINT) AS sum_k,
       |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
       |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k

@@ -81,7 +81,7 @@ object TextOps {
   }
 
   val categoryRollupSql: String =
-    s"""SELECT doc_id, category, SUM(hits) AS total_hits FROM (
+    s"""SELECT doc_id, category, CAST(SUM(hits) AS BIGINT) AS total_hits FROM (
        |  SELECT doc_id, category,
        |    CAST((length(lower(text)) - length(replace(lower(text), keyword, '')))
        |         // length(keyword) AS BIGINT) AS hits
@@ -125,7 +125,7 @@ object TextOps {
     val docs = Tables.documents(s, dir).select($"doc_id", $"n_chars")
     val w = Window.orderBy($"total_hits".desc, $"n_chars".desc, $"doc_id")
     hits.join(docs, "doc_id")
-      .withColumn("rank", row_number().over(w))
+      .withColumn("rank", row_number().over(w).cast("long"))
       .select($"doc_id", $"total_hits", $"n_chars", $"rank")
   }
 
@@ -134,7 +134,7 @@ object TextOps {
        |  ROW_NUMBER() OVER (ORDER BY total_hits DESC, n_chars DESC, doc_id)
        |    AS rank
        |FROM (
-       |  SELECT doc_id, SUM(hits) AS total_hits FROM (
+       |  SELECT doc_id, CAST(SUM(hits) AS BIGINT) AS total_hits FROM (
        |    SELECT doc_id,
        |      CAST((length(lower(text)) - length(replace(lower(text), keyword, '')))
        |           // length(keyword) AS BIGINT) AS hits
@@ -170,14 +170,17 @@ object TextOps {
         // try_cast: a name with no digit run extracts '' which must
         // sort as null, not abort under ANSI
         expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"))
-      .withColumn("natural_rank", row_number().over(w))
+      .withColumn("natural_rank", row_number().over(w).cast("long"))
   }
 
+  // NULLS FIRST pins DuckDB to Spark's ASC default (nulls first) so a
+  // source with no digit run ranks identically in both engines.
   val naturalSortSql: String =
     """SELECT source, TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
       |         AS src_num,
       |       ROW_NUMBER() OVER (
-      |         ORDER BY TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT),
+      |         ORDER BY TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
+      |                    NULLS FIRST,
       |                  source) AS natural_rank
       |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
 
@@ -217,9 +220,9 @@ object TextOps {
        |      ORDER BY score DESC, cand_lang) AS rn
        |  FROM (
        |    SELECT doc_id, lang, cand_lang,
-       |      SUM(CAST((length(lower(text)) -
+       |      CAST(SUM(CAST((length(lower(text)) -
        |                length(replace(lower(text), token, '')))
-       |           // length(token) AS BIGINT)) AS score
+       |           // length(token) AS BIGINT)) AS BIGINT) AS score
        |    FROM documents CROSS JOIN (VALUES $profs) p(cand_lang, token)
        |    GROUP BY doc_id, lang, cand_lang)
        |) WHERE rn = 1""".stripMargin
@@ -307,11 +310,16 @@ object TextOps {
 
   val pivotExportSql: String =
     """SELECT user_id,
-      |  COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0) AS click,
-      |  COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0) AS error,
-      |  COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0) AS purchase,
-      |  COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0) AS signup,
-      |  COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0) AS view
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'click' THEN 1 END), 0)
+      |    AS BIGINT) AS click,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'error' THEN 1 END), 0)
+      |    AS BIGINT) AS error,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'purchase' THEN 1 END), 0)
+      |    AS BIGINT) AS purchase,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'signup' THEN 1 END), 0)
+      |    AS BIGINT) AS signup,
+      |  CAST(COALESCE(SUM(CASE WHEN event_type = 'view' THEN 1 END), 0)
+      |    AS BIGINT) AS view
       |FROM events GROUP BY user_id""".stripMargin
 
   /** q44 — scalar string-function surface (SURVEY.md §2.7 F1-F9,

@@ -41,7 +41,8 @@ object StreamOps {
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
     val agg = stream
       .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"), sum(dec2($"value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
     val name = s"graft_stream_windows_${runId.incrementAndGet()}"
     val q = agg.writeStream
       .outputMode("complete")
@@ -62,7 +63,7 @@ object StreamOps {
     """SELECT date_trunc('hour', ts) AS ws,
       |       date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
       |       event_type, COUNT(*) AS n,
-      |       SUM(CAST(value AS DECIMAL(12,2))) AS sum_value
+      |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
   /** Per-user running state for [[statefulUserCounts]]. */

@@ -11,7 +11,7 @@ class TextOpsSpec extends SparkSpec {
   test("natural sort: src2 ranks before src10") {
     val ranks = TextOps.naturalSort(spark, sf0001)
       .select($"source", $"natural_rank")
-      .as[(String, Int)].collect().toMap
+      .as[(String, Long)].collect().toMap
     assert(ranks("src2") < ranks("src10"))
     assert(ranks("src9") < ranks("src11"))
   }
@@ -40,7 +40,7 @@ class TextOpsSpec extends SparkSpec {
     val r = TextOps.docRank(spark, sf0001)
     val n = r.count()
     assert(r.select("doc_id").distinct().count() == n)
-    val ranks = r.select("rank").as[Int].collect().sorted
+    val ranks = r.select("rank").as[Long].collect().sorted
     assert(ranks.head == 1 && ranks.last == n)
   }
 

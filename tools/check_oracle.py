@@ -12,7 +12,23 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 def canon(df):
+    # Mirror the driver: sort columns by name, canonicalize every cell to
+    # its string repr (so Decimal('1.10') vs 1.1, int 3 vs float 3.0, and
+    # date-vs-timestamp diffs FAIL like they do in the driver's hash),
+    # then sort rows.
     df = df.reindex(sorted(df.columns), axis=1)
+
+    def cell(v):
+        try:
+            import pandas as pd
+            if v is None or (not isinstance(v, (list, tuple)) and pd.isna(v)):
+                return "∅"
+        except (TypeError, ValueError):
+            pass
+        return str(v)
+
+    df = df.apply(lambda col: col.map(cell) if col.dtype == object
+                  else col.astype(str).mask(col.isna(), "∅"))
     df = df.sort_values(by=list(df.columns), kind="mergesort", ignore_index=True)
     return df
 
@@ -27,8 +43,11 @@ def main(sf_dir, out_dir):
         if not spark_files:
             print(f"FAIL {name}: no spark output"); n_bad += 1; continue
         try:
-            got = duckdb.sql(
-                f"SELECT * FROM read_parquet({spark_files!r})", connection=con).df()
+            # pd.read_parquet (pyarrow) — the driver's read path for the
+            # Spark side. Reading via DuckDB would normalize decimals and
+            # timestamp units and mask dtype-repr mismatches.
+            import pandas as pd
+            got = pd.read_parquet(spark_files)
             want = con.sql(sql).df()
         except Exception as e:
             print(f"FAIL {name}: {e}"); n_bad += 1; continue
