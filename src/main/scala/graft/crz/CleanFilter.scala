@@ -52,9 +52,15 @@ object CleanFilter {
     // the reference's break.
     val rlist = broadcast(resortNames)
       .agg(collect_list(col("rname")).as("rnames"))
+    // coalesce(false): a NULL objednavatel nulls contains() and then
+    // exists(), and when(!NULL) would silently skip the no_resort
+    // branch — the reference str()'s NaN to 'nan', matches no resort,
+    // and discards (same guard as the prilohy predicate below).
     val withResort = c.crossJoin(rlist)
       .withColumn("resort_ok",
-        expr("exists(rnames, r -> contains(upper(replace(objednavatel, ' ', '')), r))"))
+        coalesce(
+          expr("exists(rnames, r -> contains(upper(replace(objednavatel, ' ', '')), r))"),
+          lit(false)))
       .drop("rnames")
     // sequential filter cascade order preserved from 02:184-301:
     // CIN membership, resort containment, attachments, price, date —

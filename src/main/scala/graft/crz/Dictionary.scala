@@ -38,12 +38,22 @@ object Dictionary {
       .where(col("n") > minCount)
       .orderBy(col("n").desc, col("word"))
 
+  /** Numeric/currency tokens hunspell's spell() accepts without a
+    * dictionary hit (09_clean_tables.py:91-93 accepts numbers): prices
+    * like '100,00', '€', '15%'. Without this rule every price column
+    * scores wrong_ratio 1.0 and is dropped as a dummy column — the very
+    * columns the price-table gate exists to keep. */
+  val numericTokenPattern = "^[0-9., €%-]+$"
+
   /** F22 — spell(word): broadcast-set membership column (used by the
-    * tables pipeline's dummy-column test P11). */
+    * tables pipeline's dummy-column test P11). A word is known if it is
+    * in the wordlist OR is a numeric/currency token. */
   def spellOk(words: DataFrame, dictionary: DataFrame): DataFrame =
     words.join(
       broadcast(dictionary.select(lower(col("word")).as("word"))
         .withColumn("known", lit(true)).distinct()),
       Seq("word"), "left")
-      .withColumn("known", coalesce(col("known"), lit(false)))
+      .withColumn("known",
+        coalesce(col("known"), lit(false)) ||
+          col("word").rlike(numericTokenPattern))
 }

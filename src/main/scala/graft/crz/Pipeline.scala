@@ -25,7 +25,11 @@ object Pipeline {
       keywordsTxt: String,
       corpusDir: String,
       dictionaryDic: String,
-      params: CleanFilter.Params = CleanFilter.Params())
+      params: CleanFilter.Params = CleanFilter.Params(),
+      // stage-05 OOV threshold; the reference keeps count > 5
+      // (05_build_special_dictionary.py:141) — tests pass 0 for
+      // fixture-scale corpora
+      dictMinCount: Long = 5L)
 
   /** Every stage output of one pipeline run. */
   final case class Outputs(
@@ -85,7 +89,7 @@ object Pipeline {
     val dic = s.read.text(cfg.dictionaryDic)
       .withColumnRenamed("value", "word")
       .where(!col("word").rlike("^[0-9]+$"))
-    val minedWords = Dictionary.mineSpecialWords(corpus, dic, minCount = 0L)
+    val minedWords = Dictionary.mineSpecialWords(corpus, dic, cfg.dictMinCount)
     Outputs(contracts, quarantined, clean, audit, tagged, ranked,
       subjects, minedWords)
   }

@@ -155,6 +155,26 @@ class CrzSpec extends SparkSpec {
     assert(reasons("b") == "kept") // NOT 'duplicate'
   }
 
+  test("null purchaser fails the resort check, not silently 'kept'") {
+    // contains(NULL) nulls through exists(); without the coalesce guard
+    // when(!NULL) skips the no_resort branch entirely — the reference
+    // str()'s NaN to 'nan', matches no resort, and discards
+    val rows = spark.sql(
+      """SELECT * FROM VALUES
+        |  ('Z', '1', 'a', '12345678', CAST(NULL AS STRING),
+        |   TIMESTAMP '2021-01-01 00:00:00', CAST(100000 AS DECIMAL(18,2)))
+        |AS t(nazov, id, innerId, dodavatelIco, objednavatel,
+        |     datumZverejnenia, cenaKonecna)""".stripMargin)
+      .withColumn("prilohy", expr(
+        "array(named_struct('attId','1','name','n','filename','f'," +
+          "'sizeBytes',CAST(1 AS BIGINT),'url','https://x/f'," +
+          "'attDate',CAST(NULL AS TIMESTAMP)))"))
+    val reasons = CleanFilter.withReason(rows, companies, resorts,
+        CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")))
+      .select($"reason").as[String].collect()
+    assert(reasons.toSeq == Seq("no_resort"))
+  }
+
   test("Pipeline.run wires every stage over XML + legacy CSV inputs") {
     val out = Pipeline.run(spark, Pipeline.Config(
       xmlDir = s"$fx/xml",
@@ -164,7 +184,8 @@ class CrzSpec extends SparkSpec {
       keywordsTxt = s"$fx/keywords.txt",
       corpusDir = s"$fx/contracts_text",
       dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
-      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))))
+      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")),
+      dictMinCount = 0L)) // fixture corpus: every OOV word is rare
     assert(out.contracts.count() == 12)   // 2 XML + 10 legacy rows
     assert(out.quarantined.count() == 1)
     // 100001 appears in both sources => one extra 'duplicate' vs the
@@ -237,6 +258,9 @@ class CrzSpec extends SparkSpec {
     assert(t2stats(2).getAs[Boolean]("dummy_col"))   // gibberish column
     assert(!t2stats(0).getAs[Boolean]("dummy_col"))  // position names known
     assert(t2stats(3).getAs[Boolean]("numeric_col")) // price column
+    // numeric tokens count as spelled-OK (hunspell accepts numbers,
+    // 09:91-93): the price column must NOT be flagged dummy
+    assert(!t2stats(3).getAs[Boolean]("dummy_col"))
 
     val gates = gate.collect().map(r =>
       r.getAs[Int]("table_no") -> r.getAs[Boolean]("price_table")).toMap
@@ -247,6 +271,8 @@ class CrzSpec extends SparkSpec {
     assert(cleaned.where($"table_no" === 3).count() == 0)
     assert(cleaned.where($"table_no" === 2 && $"col_idx".isin(1, 2))
       .count() == 0)
+    // ...and the price column the gate identified SURVIVES the clean
+    assert(cleaned.where($"table_no" === 2 && $"col_idx" === 3).count() > 0)
   }
 
   test("A5/D5: suggested keywords accumulate ratio, exclude existing") {
