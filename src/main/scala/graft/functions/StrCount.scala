@@ -74,6 +74,10 @@ object Functions {
       "vec_dot",
       exprs => FloatDot(exprs(0), exprs(1)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "minhash_sig",
+      exprs => MinhashSig(exprs(0)),
+      "built-in")
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

@@ -50,36 +50,40 @@ object DedupOps {
 
   private val nPerms = 8 // minhash permutations; 2 bands of 4 rows
 
-  /** Distinct char-5-gram shingles per document. */
-  private def shingles(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    Tables.documents(s, dir)
-      .where(length($"text") >= 5)
-      .select($"doc_id", lower($"text").as("t"))
-      .select($"doc_id",
-        explode(expr("sequence(1, length(t) - 4)")).as("i"), $"t")
-      .select($"doc_id", expr("substring(t, i, 5)").as("shingle"))
-      .distinct()
-  }
-
   /** q21 — MinHash + LSH near-duplicate detection with exact-Jaccard
-    * verification of the banded candidates. The permutation family is
-    * md5(perm || '|' || shingle); signature built by conditional
-    * aggregation in one shuffle; candidates only from band-key
-    * equality (2 bands × 4 rows); verified Jaccard from a shingle
-    * equi-join restricted to candidates. */
+    * verification of the banded candidates.
+    *
+    * ZERO shuffles up to the (1-row-per-doc) signature frame: the
+    * distinct 5-gram shingle set, its md5 digests, and the 8 minhash
+    * slices are all computed WITHIN each document's row
+    * (array_distinct ∘ transform over the character positions, then
+    * array_min over digest slices) — per-document work proportional to
+    * document length, embarrassingly parallel at any corpus size, and
+    * an order of magnitude cheaper than the explode + groupBy shape
+    * (no 10⁶-row shuffle, no object-hash collect_set aggregation).
+    * Candidates come from band-key equality (2 bands × 4 rows) over
+    * the signature frame; verification is a doc-level join of the
+    * candidate pairs back to the per-doc sets — array_intersect, no
+    * shingle-level shuffle.
+    *
+    * The permutation family: 8 disjoint 4-hex-char (16-bit) slices of
+    * one md5(shingle) digest — independent uniform hashes from one
+    * crypto-hash evaluation, deterministic across engines/executors.
+    */
   def minhashLsh(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sh = shingles(s, dir).cache()
-    // ONE md5 per shingle; the 8 "permutations" are disjoint 4-hex-char
-    // (16-bit) slices of the digest — independent uniform hashes from
-    // one crypto-hash evaluation (min-tie collision odds across docs
-    // ~(1/minrank)^4 per band, negligible). 8x fewer md5 calls than
-    // hashing per permutation, measured equivalent candidate sets.
-    val digest = md5($"shingle")
-    val sigCols = (0 until nPerms).map(p =>
-      min(substring(digest, p * 4 + 1, 4)).as(s"m$p"))
-    val sig = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+    graft.functions.Functions.register(s)
+    val minCols = (0 until nPerms).map(p =>
+      $"sg.mins".getItem(p).as(s"m$p"))
+    val sig = Tables.documents(s, dir)
+      .where(length($"text") >= 5)
+      .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
+      .select(($"doc_id" +: $"sg.ss".as("ss") +: minCols): _*)
+      .cache()
+    // single-scan materialization: bands reads sig twice and the
+    // verify join twice more; a cold cache would recompute the
+    // per-doc shingle/digest arrays once per concurrent scan
+    sig.count()
     val bands = sig.select($"doc_id", lit(0).as("band"),
         concat($"m0", $"m1", $"m2", $"m3").as("key"))
       .union(sig.select($"doc_id", lit(1).as("band"),
@@ -90,20 +94,15 @@ object DedupOps {
           $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
       .distinct()
-    val sa = sh.select($"doc_id".as("doc_a"), $"shingle")
-    val sb = sh.select($"doc_id".as("doc_b"), $"shingle")
-    val inter = cand.join(sa, "doc_a")
-      .join(sb, Seq("doc_b", "shingle"))
-      .groupBy($"doc_a", $"doc_b").agg(count(lit(1)).as("n_inter"))
-    val sizes = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-    inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n", "n_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n", "n_b"), "doc_b")
+    val setsA = sig.select($"doc_id".as("doc_a"), $"ss".as("ssa"))
+    val setsB = sig.select($"doc_id".as("doc_b"), $"ss".as("ssb"))
+    cand.join(setsA, "doc_a").join(setsB, "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect($"ssa", $"ssb")).cast("long"))
       .select($"doc_a", $"doc_b",
         ($"n_inter".cast("double") /
-          ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
+          (size($"ssa") + size($"ssb") - $"n_inter").cast("double"))
+          .as("jaccard"))
   }
 
   /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
@@ -153,13 +152,17 @@ object DedupOps {
     * step that closes the dedup pipeline (keep canonical, drop the
     * rest).
     *
-    * Implementation: iterative min-label propagation over the
-    * symmetric edge list — labels converge to the component minimum in
-    * O(diameter) distributed join+agg rounds; the driver loop only
-    * checks a change counter, all data stays distributed. (At 100 TB
-    * with adversarial diameters, swap the propagation for
-    * large-star/small-star — same contract.) The oracle computes the
-    * same labels via recursive reachability closure.
+    * Implementation: min-label propagation with pointer jumping over
+    * the symmetric edge list. Each round takes the min label over
+    * {self} ∪ neighbors (one join+agg), then path-compresses with
+    * label ← label(label) (one self-join) — the compression doubles
+    * propagation reach per round, so a chain of diameter d converges
+    * in O(log d) rounds instead of O(d). Change detection rides the
+    * same aggregate (the self row carries the pre-round label), so a
+    * round is exactly two jobs: the eager localCheckpoint and a count
+    * over the checkpointed result. All data stays distributed; the
+    * driver sees only the change counter. The oracle computes the same
+    * labels via recursive reachability closure.
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -168,6 +171,10 @@ object DedupOps {
       .where($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
       .cache()
+    // single-scan materialization: the symmetric union below reads
+    // edges twice, and the whole minhash pipeline would recompute per
+    // branch if the first action found the cache cold
+    edges.count()
     val sym = edges
       .union(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     var labels = sym.select($"doc_a".as("id")).distinct()
@@ -175,22 +182,34 @@ object DedupOps {
       .cache()
     var changed = 1L
     var rounds = 0
-    while (changed > 0 && rounds < 20) {
+    while (changed > 0 && rounds < 35) {
+      // min over {self} ∪ neighbor labels; the self row also carries
+      // the pre-round label so the change count needs no extra join
       val viaNeighbors = sym
         .join(labels, sym("doc_a") === labels("id"))
-        .select($"doc_b".as("id"), $"label")
+        .select($"doc_b".as("id"), $"label",
+          lit(null).cast("long").as("self"))
+      val folded = labels.select($"id", $"label", $"label".as("self"))
+        .union(viaNeighbors)
+        .groupBy($"id")
+        .agg(min($"label").as("label"), min($"self").as("old"))
+      // pointer jump: label ← label(label). Monotone (label(x) ≤ x
+      // throughout), and the fixed point is unchanged — only reached
+      // exponentially faster.
+      val ptr = folded.select($"id".as("pid"), $"label".as("plabel"))
       // localCheckpoint truncates lineage — without it every round's
       // plan embeds all previous rounds and analysis time compounds
-      val next = labels.select($"id", $"label").union(viaNeighbors)
-        .groupBy($"id").agg(min($"label").as("label"))
+      val next = folded.join(ptr, folded("label") === ptr("pid"), "left")
+        .select(folded("id"),
+          coalesce($"plabel", folded("label")).as("label"), $"old")
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.id") === col("o.id"))
-        .where(col("n.label") =!= col("o.label"))
-        .count()
+      changed = next.where($"label" =!= $"old").count()
       labels.unpersist()
-      labels = next
+      labels = next.select($"id", $"label")
       rounds += 1
+      if (sys.env.contains("GRAFT_CC_TRACE"))
+        println(s"CC_TRACE round=$rounds changed=$changed " +
+          s"t=${System.nanoTime() / 1000000}")
     }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(

@@ -55,6 +55,47 @@ object Probe {
           "SELECT count_occurrences('aaaa', 'aa') AS cnt, " +
             "vec_dot(array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT)), " +
             "array(CAST(3.0 AS FLOAT), CAST(4.0 AS FLOAT))) AS dot")
+      case "minhashStages" =>
+        // timing decomposition of the q21/q48 minhash pipeline
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        def stage(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"STAGE $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val docs = graft.Tables.documents(spark, sfDir)
+        stage("scan")(docs.count())
+        val withSet = docs.where(length($"text") >= 5)
+          .select($"doc_id", lower($"text").as("t"))
+          .select($"doc_id", expr(
+            "array_distinct(transform(sequence(1, length(t) - 4), " +
+              "i -> substring(t, i, 5)))").as("ss"))
+        stage("shingle-sets")(withSet.count())
+        val withDg = withSet.withColumn("dg", expr("transform(ss, s -> md5(s))"))
+        stage("digests")(withDg.select($"doc_id", $"dg").count())
+        val sigExprs = (0 until 8).map(p =>
+          expr(s"array_min(transform(dg, d -> substring(d, ${p * 4 + 1}, 4)))")
+            .as(s"m$p"))
+        val sig = withDg.select(($"doc_id" +: $"ss" +: sigExprs): _*).cache()
+        stage("sig-mins+cache")(sig.count())
+        val bands = sig.select($"doc_id", lit(0).as("band"),
+            concat($"m0", $"m1", $"m2", $"m3").as("key"))
+          .union(sig.select($"doc_id", lit(1).as("band"),
+            concat($"m4", $"m5", $"m6", $"m7").as("key")))
+        val a = bands.as("a"); val b = bands.as("b")
+        val cand = a.join(b,
+            $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct().cache()
+        stage("candidates")(cand.count())
+        val setsA = sig.select($"doc_id".as("doc_a"), $"ss".as("ssa"))
+        val setsB = sig.select($"doc_id".as("doc_b"), $"ss".as("ssb"))
+        val inter = cand.join(setsA, "doc_a").join(setsB, "doc_b")
+          .withColumn("n_inter", size(array_intersect($"ssa", $"ssb")))
+        stage("verify-intersect")(inter.count())
+        spark.emptyDataFrame
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
         val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
@@ -67,6 +108,16 @@ object Probe {
     }
     if (explain) df.explain("formatted")
     println(s"PROBE name=$name rows=${df.count()}")
+    if (args.contains("--bench")) {
+      // bench-style timing: two further full executions on the warm JVM
+      // (the first full run above absorbed JIT + parquet footer reads)
+      for (i <- 1 to 2) {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        SparkEntry.queries(name)(spark, sfDir).count()
+        println(f"PROBE bench run$i=${(System.nanoTime() - t0) / 1e9}%.2f s")
+      }
+    }
     df.show(5, truncate = false)
     spark.stop()
   }
