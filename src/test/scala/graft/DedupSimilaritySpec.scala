@@ -22,6 +22,31 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(m.count() > 0)
   }
 
+  test("minhash_sig kernel ≡ composed substring/md5/min expressions " +
+      "(incl. diacritics — codepoint semantics)") {
+    graft.functions.Functions.register(spark)
+    val docs = Seq("zmluva o dielo číslo 42 — údržba ciest",
+      "aaaaa", "abcde abcde", "krátky text s ľľľ ňň diakritikou")
+      .toDF("t")
+    val composedExprs =
+      ("array_sort(array_distinct(transform(sequence(1, length(t) - 4), " +
+        "i -> substring(t, i, 5)))) AS ss_ref") +:
+        (0 until 8).map(p =>
+          s"array_min(transform(array_distinct(transform(" +
+            s"sequence(1, length(t) - 4), i -> substring(t, i, 5))), " +
+            s"s -> substring(md5(s), ${p * 4 + 1}, 4))) AS r$p")
+    val composed = docs.selectExpr(composedExprs: _*)
+    val kernelExprs = "array_sort(sg.ss) AS ss_kern" +:
+      (0 until 8).map(p => s"sg.mins[$p] AS k$p")
+    val kernel = docs.selectExpr("minhash_sig(t) AS sg")
+      .selectExpr(kernelExprs: _*)
+    val both = composed.collect().zip(kernel.collect())
+    both.foreach { case (c, k) =>
+      assert(c.getSeq[String](0) == k.getSeq[String](0)) // same shingle set
+      (1 to 8).foreach(p => assert(c.getString(p) == k.getString(p)))
+    }
+  }
+
   test("simhash: 16-bit range and identical docs hash equal") {
     val sh = DedupOps.simhash(spark, sf0001)
     assert(sh.where($"simhash" < 0 || $"simhash" > 65535).count() == 0)
