@@ -1,0 +1,55 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+import graft.ops.{Relational, SimilarityOps, TextOps}
+
+/** Physical-plan assertions (SURVEY.md §7 / PLANS.md): the properties
+  * the 100 TB design depends on — filter pushdown to the parquet scan,
+  * dimension broadcasts, map-side partial aggregation, no cartesian
+  * products — locked in as tests so a refactor that silently loses one
+  * fails here, not on a cluster.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def formatted(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q01: price/date predicates are pushed to the orders scan") {
+    val plan = formatted(Relational.cleanFilter(spark, sf0001))
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("GreaterThanOrEqual(o_totalprice"))
+    // column pruning: the scan must not read the wide comment column
+    assert(!plan.contains("o_comment"))
+  }
+
+  test("q03: customer dimension joins as a broadcast, not a shuffle") {
+    val plan = formatted(Relational.revenueJoin(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("q02: aggregation is partial (map-side) + final — two HashAggregates") {
+    val plan = formatted(Relational.pricingSummary(spark, sf0001))
+    assert("HashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
+  test("q24: brute-force pairs use broadcast NL join, never CartesianProduct") {
+    val plan = formatted(SimilarityOps.cosineTopK(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q09: keyword dimension is broadcast against the corpus") {
+    val plan = formatted(TextOps.keywordTf(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+  }
+
+  test("q04: contains-semijoin stays a broadcast NL semi join") {
+    val plan = formatted(Relational.containsSemiJoin(spark, sf0001))
+    assert(plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("LeftSemi"))
+  }
+}
