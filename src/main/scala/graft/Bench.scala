@@ -27,8 +27,11 @@ object Bench {
     // numbers (Map iteration order is arbitrary)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
+      // a failed query records -1, not its partial elapsed time — a
+      // crash must not masquerade as a speedup in the totals
+      val secs =
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       // timings stay independent: no query benefits from (or pays
       // eviction pressure for) another query's cached frames
       spark.catalog.clearCache()

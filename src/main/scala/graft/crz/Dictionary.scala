@@ -40,10 +40,14 @@ object Dictionary {
 
   /** Numeric/currency tokens hunspell's spell() accepts without a
     * dictionary hit (09_clean_tables.py:91-93 accepts numbers): prices
-    * like '100,00', '€', '15%'. Without this rule every price column
-    * scores wrong_ratio 1.0 and is dropped as a dummy column — the very
-    * columns the price-table gate exists to keep. */
+    * like '100,00', '100 €', '15%'. Without this rule every price
+    * column scores wrong_ratio 1.0 and is dropped as a dummy column —
+    * the very columns the price-table gate exists to keep. At least
+    * one digit is required so punctuation-only tokens ('-', '€€€',
+    * '...') stay misspelled — hunspell accepts numbers, not bare
+    * punctuation, and a column of dash placeholders IS a dummy column. */
   val numericTokenPattern = "^[0-9., €%-]+$"
+  private val hasDigit = "[0-9]"
 
   /** F22 — spell(word): broadcast-set membership column (used by the
     * tables pipeline's dummy-column test P11). A word is known if it is
@@ -55,5 +59,6 @@ object Dictionary {
       Seq("word"), "left")
       .withColumn("known",
         coalesce(col("known"), lit(false)) ||
-          col("word").rlike(numericTokenPattern))
+          (col("word").rlike(numericTokenPattern) &&
+            col("word").rlike(hasDigit)))
 }

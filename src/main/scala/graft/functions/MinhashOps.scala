@@ -2,6 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType, StructField, StructType}
@@ -76,6 +77,12 @@ object MinhashKernels {
   * is a single generated call into one loop.
   */
 case class MinhashSig(child: Expression) extends UnaryExpression {
+  // fail at analysis, not with an executor ClassCastException
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig requires a STRING argument, got ${child.dataType.sql}")
+
   override def dataType: DataType = StructType(Seq(
     StructField("ss", ArrayType(StringType, containsNull = false)),
     StructField("mins", ArrayType(StringType, containsNull = true))))

@@ -70,7 +70,15 @@ object DedupOps {
     * one md5(shingle) digest — independent uniform hashes from one
     * crypto-hash evaluation, deterministic across engines/executors.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(s: SparkSession, dir: String): DataFrame =
+    minhashPairs(s, dir)._1
+
+  /** Shared implementation returning (pairs, cached signature frame) —
+    * q48 materializes the pairs and then unpersists the signature
+    * cache (the per-doc shingle arrays are the dominant memory
+    * consumer and are unused during label propagation). */
+  private def minhashPairs(s: SparkSession,
+      dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.Functions.register(s)
     val minCols = (0 until nPerms).map(p =>
@@ -96,13 +104,18 @@ object DedupOps {
       .distinct()
     val setsA = sig.select($"doc_id".as("doc_a"), $"ss".as("ssa"))
     val setsB = sig.select($"doc_id".as("doc_b"), $"ss".as("ssb"))
-    cand.join(setsA, "doc_a").join(setsB, "doc_b")
+    val pairs = cand.join(setsA, "doc_a").join(setsB, "doc_b")
       .withColumn("n_inter",
         size(array_intersect($"ssa", $"ssb")).cast("long"))
+      // zero-intersection candidates (possible when band minimums
+      // coincide without shared shingles) must NOT emit a jaccard=0
+      // row: the oracle's inner shingle join produces no row for them
+      .where($"n_inter" > 0)
       .select($"doc_a", $"doc_b",
         ($"n_inter".cast("double") /
           (size($"ssa") + size($"ssb") - $"n_inter").cast("double"))
           .as("jaccard"))
+    (pairs, sig)
   }
 
   /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
@@ -167,7 +180,8 @@ object DedupOps {
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val threshold = 0.8
-    val edges = minhashLsh(s, dir)
+    val (pairs, sig) = minhashPairs(s, dir)
+    val edges = pairs
       .where($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
       .cache()
@@ -175,6 +189,9 @@ object DedupOps {
     // edges twice, and the whole minhash pipeline would recompute per
     // branch if the first action found the cache cold
     edges.count()
+    // the per-doc shingle arrays are dead weight from here on — free
+    // them before the propagation loop competes for storage memory
+    sig.unpersist()
     val sym = edges
       .union(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     var labels = sym.select($"doc_a".as("id")).distinct()

@@ -89,6 +89,9 @@ object LayoutOps {
       .agg(
         countDistinct(col("user_id")).as("exact_users"),
         approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
-        expr("approx_percentile(value, 0.5, 1000)").as("value_p50"),
-        expr("approx_percentile(value, 0.95, 1000)").as("value_p95"))
+        // one sketch, both quantiles — flattened to scalars after
+        expr("approx_percentile(value, array(0.5, 0.95), 1000)").as("pp"))
+      .select(col("event_type"), col("exact_users"), col("approx_users"),
+        col("pp").getItem(0).as("value_p50"),
+        col("pp").getItem(1).as("value_p95"))
 }

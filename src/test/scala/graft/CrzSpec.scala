@@ -131,6 +131,18 @@ class CrzSpec extends SparkSpec {
     assert(!mined.contains("zmluva"))    // in dictionary
   }
 
+  test("spellOk: digit-bearing price tokens known, punctuation-only not") {
+    val words = Seq("100,00", "15%", "100 €", "slovo", "-", "€", "...", "qzx")
+      .toDF("word")
+    val dict = Seq("slovo").toDF("word")
+    val known = Dictionary.spellOk(words, dict)
+      .as[(String, Boolean)].collect().toMap
+    assert(known("100,00") && known("15%") && known("100 €") && known("slovo"))
+    // hunspell accepts numbers, not bare punctuation — a column of
+    // dash placeholders must still read as misspelled (dummy)
+    assert(!known("-") && !known("€") && !known("...") && !known("qzx"))
+  }
+
   test("dedup only among cascade survivors: a discarded earlier row " +
       "does not shadow a later valid row (02:252-268 semantics)") {
     // same (nazov, id): the EARLIER row fails CIN, the LATER passes
