@@ -70,6 +70,8 @@ object SparkEntry {
       ("q37_approx_distinct",
         ((s, d) => LayoutOps.approxDistinct(s, d)): (SparkSession, String) => DataFrame,
         None),
+      ("q49_salted_agg", SkewOps.saltedAgg _, Some(SkewOps.saltedAggSql)),
+      ("q50_salted_join", SkewOps.saltedJoin _, Some(SkewOps.saltedJoinSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */
