@@ -99,6 +99,31 @@ object Probe {
           .withColumn("n_inter", size(array_intersect($"ssa", $"ssb")))
         stage("verify-intersect")(inter.count())
         spark.emptyDataFrame
+      case "cosineStages" =>
+        // timing decomposition of q24: pair generation + dot vs window
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        graft.functions.Functions.register(spark)
+        def stage(label: String)(f: => Long): Unit = {
+          val t0 = System.nanoTime()
+          val n = f
+          println(f"STAGE $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        }
+        val e = graft.Tables.embeddings(spark, sfDir)
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+        val a = e.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
+          $"nrm".as("nb"))
+        val pairs = a.join(b, $"vec_id" =!= $"neighbor_id")
+          .withColumn("cos_sim", expr("vec_dot(ea, eb)") / ($"na" * $"nb"))
+        stage("pairs+dot")(pairs.select($"vec_id", $"neighbor_id", $"cos_sim")
+          .filter($"cos_sim" > 2.0).count()) // forces dot eval, empty result
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy($"vec_id").orderBy($"cos_sim".desc, $"neighbor_id")
+        stage("window-top5")(pairs
+          .select($"vec_id", $"neighbor_id", $"cos_sim")
+          .withColumn("rn", row_number().over(w)).where($"rn" <= 5).count())
+        spark.emptyDataFrame
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
         val out = java.nio.file.Files.createTempDirectory("graft_layout").toString
