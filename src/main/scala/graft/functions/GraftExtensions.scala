@@ -32,5 +32,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("minhash_sig"),
       new ExpressionInfo(classOf[MinhashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) => MinhashSig(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("topk_neighbors"),
+      new ExpressionInfo(classOf[TopKNeighbors].getName, "topk_neighbors"),
+      (exprs: Seq[Expression]) =>
+        TopKNeighbors(exprs(0), exprs(1)).toAggregateExpression()))
   }
 }

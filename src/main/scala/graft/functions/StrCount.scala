@@ -78,6 +78,10 @@ object Functions {
       "minhash_sig",
       exprs => MinhashSig(exprs(0)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "topk_neighbors",
+      exprs => TopKNeighbors(exprs(0), exprs(1)).toAggregateExpression(),
+      "built-in")
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

@@ -124,6 +124,26 @@ object Probe {
           .select($"vec_id", $"neighbor_id", $"cos_sim")
           .withColumn("rn", row_number().over(w)).where($"rn" <= 5).count())
         spark.emptyDataFrame
+      case "cosineTopkAgg" =>
+        // q24 alternative: bounded topk_neighbors aggregate instead of
+        // the row_number window — compare timings with cosineStages
+        import org.apache.spark.sql.functions._
+        import spark.implicits._
+        graft.functions.Functions.register(spark)
+        val e = graft.Tables.embeddings(spark, sfDir)
+          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+        val a = e.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
+        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
+          $"nrm".as("nb"))
+        val t0 = System.nanoTime()
+        val n = a.join(b, $"vec_id" =!= $"neighbor_id")
+          .withColumn("cos_sim", expr("vec_dot(ea, eb)") / ($"na" * $"nb"))
+          .groupBy($"vec_id")
+          .agg(expr("topk_neighbors(struct(cos_sim, neighbor_id), 5)").as("top"))
+          .select($"vec_id", posexplode($"top"))
+          .count()
+        println(f"STAGE agg-top5 rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+        spark.emptyDataFrame
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
         val out = java.nio.file.Files.createTempDirectory("graft_layout").toString

@@ -61,6 +61,32 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(perVec.where($"count" =!= 5).count() == 0)
   }
 
+  test("topk_neighbors aggregate ≡ row_number window top-k (ties included)") {
+    graft.functions.Functions.register(spark)
+    import org.apache.spark.sql.functions._
+    // synthetic frame WITH score ties to exercise the (score DESC,
+    // id ASC) tie-break on both paths
+    val rows = Seq(
+      (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.95),
+      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.5)).toDF("g", "id", "s")
+    val viaAgg = rows.groupBy($"g")
+      .agg(expr("topk_neighbors(struct(s, id), 2)").as("top"))
+      .select($"g", posexplode($"top").as(Seq("pos", "t")))
+      .select($"g", ($"pos" + 1).cast("long").as("rn"),
+        $"t.id".as("id"), $"t.score".as("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"g").orderBy($"s".desc, $"id")
+    val viaWindow = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 2)
+      .select($"g", $"rn", $"id", $"s")
+    assert(viaAgg.except(viaWindow).isEmpty && viaWindow.except(viaAgg).isEmpty)
+    // partial-aggregation shape: the plan must carry a partial_topk
+    // before the exchange (map-side combine), i.e. two ObjectHashAggregates
+    val plan = viaAgg.queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2)
+  }
+
   test("IVF top-k is a subset-ranking of brute force within the bucket") {
     val ivf = SimilarityOps.annIvf(spark, sf0001)
     val emb = Tables.embeddings(spark, sf0001)
