@@ -15,8 +15,16 @@ object Bench {
     // first scan of each table, page-cache population); every query
     // below is still fully measured.
     try {
+      import org.apache.spark.sql.functions.{broadcast, col, row_number}
       spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
         .groupBy("k").count().count()
+      // JIT the join + window operator paths the first queries hit
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("k").orderBy("v")
+      spark.range(10000).selectExpr("id % 13 AS k", "id AS v")
+        .join(broadcast(spark.range(13).selectExpr("id AS k2")),
+          col("k") === col("k2"), "left_semi")
+        .withColumn("rn", row_number().over(w)).where("rn = 1").count()
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
         spark.read.parquet(s"$sfDir/$t.parquet").count()
