@@ -37,5 +37,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TopKNeighbors].getName, "topk_neighbors"),
       (exprs: Seq[Expression]) =>
         TopKNeighbors(exprs(0), exprs(1)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("bigram_set"),
+      new ExpressionInfo(classOf[BigramSet].getName, "bigram_set"),
+      (exprs: Seq[Expression]) => BigramSet(exprs(0))))
   }
 }

@@ -69,6 +69,76 @@ object MinhashKernels {
   }
 }
 
+/** Static kernel for [[BigramSet]]. */
+object NgramKernels {
+  /** Distinct word-bigram set of a document: lowercase, tokenize on
+    * maximal `[a-z]+` runs (any other codepoint separates — multibyte
+    * UTF-8 bytes are ≥ 0x80, so a byte scan is codepoint-exact here),
+    * join consecutive tokens with a space, dedupe preserving first-seen
+    * order. Exactly `array_distinct` over
+    * `transform(sequence(1, size(ws)-1), i -> ws[i] || ' ' || ws[i+1])`
+    * with `ws = filter(split(lower(text), '[^a-z]+'), w -> w <> '')` —
+    * in one loop instead of four interpreted higher-order passes.
+    */
+  def bigrams(text: UTF8String): GenericArrayData = {
+    val bytes = text.toLowerCase.getBytes
+    val seen = new java.util.LinkedHashSet[String]()
+    var prevStart = -1
+    var prevEnd = -1
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      // token start
+      while (i < n && (bytes(i) < 'a' || bytes(i) > 'z')) i += 1
+      if (i >= n) {
+        i = n + 1
+      } else {
+        val start = i
+        while (i < n && bytes(i) >= 'a' && bytes(i) <= 'z') i += 1
+        if (prevStart >= 0) {
+          val sb = new java.lang.StringBuilder(
+            (prevEnd - prevStart) + 1 + (i - start))
+          var j = prevStart
+          while (j < prevEnd) { sb.append(bytes(j).toChar); j += 1 }
+          sb.append(' ')
+          j = start
+          while (j < i) { sb.append(bytes(j).toChar); j += 1 }
+          seen.add(sb.toString)
+        }
+        prevStart = start
+        prevEnd = i
+      }
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = UTF8String.fromString(it.next()); k += 1 }
+    new GenericArrayData(out)
+  }
+}
+
+/** Native distinct-word-bigram expression — the per-document stage of
+  * the n-gram Jaccard dedup (q23). See [[NgramKernels.bigrams]].
+  */
+case class BigramSet(child: Expression) extends UnaryExpression {
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bigram_set requires a STRING argument, got ${child.dataType.sql}")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def nullSafeEval(t: Any): Any =
+    NgramKernels.bigrams(t.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, t =>
+      s"${ev.value} = graft.functions.NgramKernels.bigrams($t);")
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Native MinHash-signature expression — the hot kernel of the
   * near-duplicate operators (SURVEY.md §7.1.8 / BASELINE.json
   * north-star dedup family). The composed-expression form

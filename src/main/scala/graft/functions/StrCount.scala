@@ -82,6 +82,10 @@ object Functions {
       "topk_neighbors",
       exprs => TopKNeighbors(exprs(0), exprs(1)).toAggregateExpression(),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "bigram_set",
+      exprs => BigramSet(exprs(0)),
+      "built-in")
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

@@ -306,30 +306,32 @@ object DedupOps {
 
   /** q23 — word-bigram Jaccard near-dup, blocked by (lang, source) —
     * the blocking keys bound the pair space so the gram equi-join
-    * never goes quadratic in the corpus (SURVEY.md §7.1.8 design). */
+    * never goes quadratic in the corpus (SURVEY.md §7.1.8 design).
+    *
+    * The distinct bigram set per document comes from the native
+    * [[graft.functions.BigramSet]] kernel (one loop per doc — no
+    * corpus-wide distinct shuffle, no interpreted HOF chain), and the
+    * set size rides through the blocked equi-join as a grouping
+    * column, so the query is one equi-join + one aggregation. */
   def ngramJaccard(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.Functions.register(s)
     val bg = Tables.documents(s, dir)
-      .withColumn("ws",
-        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
-      .where(size($"ws") >= 2)
       .select($"doc_id", $"lang", $"source",
-        explode(expr(
-          "transform(sequence(1, size(ws) - 1), " +
-            "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
-          .as("bigram"))
-      .distinct()
+        expr("bigram_set(text)").as("bgs"))
+      .select($"doc_id", $"lang", $"source",
+        size($"bgs").cast("long").as("n"), explode($"bgs").as("bigram"))
       .cache()
-    val sizes = bg.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+    // single-scan materialization: the self-join reads bg twice; a
+    // cold cache would run the kernel once per side
+    bg.count()
     val a = bg.as("a"); val b = bg.as("b")
-    val inter = a.join(b,
+    a.join(b,
         $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
           $"a.bigram" === $"b.bigram" && $"a.doc_id" < $"b.doc_id")
-      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"))
       .agg(count(lit(1)).as("n_inter"))
-    inter
-      .join(sizes.select($"doc_id".as("doc_a"), $"n".as("n_a")), "doc_a")
-      .join(sizes.select($"doc_id".as("doc_b"), $"n".as("n_b")), "doc_b")
       .select($"doc_a", $"doc_b",
         ($"n_inter".cast("double") /
           ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))

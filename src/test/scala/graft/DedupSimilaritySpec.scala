@@ -47,6 +47,25 @@ class DedupSimilaritySpec extends SparkSpec {
     }
   }
 
+  test("bigram_set kernel ≡ composed split/transform/array_distinct " +
+      "(diacritics separate tokens, duplicates collapse)") {
+    graft.functions.Functions.register(spark)
+    val docs = Seq("Zmluva o dielo o dielo", "a b a b a", "single",
+      "", "čaj a káva a čaj", "  spaces   everywhere  ")
+      .toDF("t")
+    val composed = docs
+      .selectExpr("filter(split(lower(t), '[^a-z]+'), w -> w <> '') AS ws")
+      .selectExpr(
+        "array_sort(CASE WHEN size(ws) >= 2 THEN " +
+          "array_distinct(transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))) " +
+          "ELSE CAST(array() AS ARRAY<STRING>) END) AS ref")
+    val kernel = docs.selectExpr("array_sort(bigram_set(t)) AS kern")
+    composed.collect().zip(kernel.collect()).foreach { case (c, k) =>
+      assert(c.getSeq[String](0) == k.getSeq[String](0))
+    }
+  }
+
   test("simhash: 16-bit range and identical docs hash equal") {
     val sh = DedupOps.simhash(spark, sf0001)
     assert(sh.where($"simhash" < 0 || $"simhash" > 65535).count() == 0)
