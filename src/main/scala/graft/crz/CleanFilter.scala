@@ -50,8 +50,10 @@ object CleanFilter {
     // P4 — resort containment: any resort name is a substring of the
     // normalized purchaser (02:205-225); exists() short-circuits like
     // the reference's break.
-    val rlist = broadcast(resortNames)
-      .agg(collect_list(col("rname")).as("rnames"))
+    // hint goes on the aggregated one-row frame — broadcast() below an
+    // Aggregate is lost and the crossJoin could plan a CartesianProduct
+    val rlist = broadcast(
+      resortNames.agg(collect_list(col("rname")).as("rnames")))
     // coalesce(false): a NULL objednavatel nulls contains() and then
     // exists(), and when(!NULL) would silently skip the no_resort
     // branch — the reference str()'s NaN to 'nan', matches no resort,

@@ -82,8 +82,9 @@ object Pipeline {
     // stage 04_tag — corpus tagging + ranking
     val corpus = Sources.readTextCorpus(s, cfg.corpusDir)
     val keywords = loadKeywords(s, cfg.keywordsTxt)
+    // the TF long frame feeds both outputs — build it once
     val tagged = Tagging.tagLong(corpus, keywords)
-    val ranked = Tagging.ranked(corpus, keywords, clean)
+    val ranked = Tagging.rankedFromTagged(tagged, corpus, clean)
     // stage 08 — subjects; stage 05_build — dictionary mining
     val subjects = Subject.extract(corpus)
     val dic = s.read.text(cfg.dictionaryDic)

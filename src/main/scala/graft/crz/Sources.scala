@@ -99,18 +99,22 @@ object Sources {
         .as("dodatky"))
   }
 
-  /** F27 — legacy stringified-Python-list attachment cell →
-    * Array[Attachment], including the reference's `' nan,'` repair
-    * hack (03_download_contracts.py:640). Python list literals with
-    * single quotes become JSON arrays; unquoted nan is quoted first.
-    */
+  /** F27+F28 — legacy stringified-Python-list attachment cell →
+    * Array[Attachment], via the native [[LegacyAttachments]] parser
+    * (handles apostrophes in names — Python repr double-quotes those,
+    * which a quote-rewriting JSON round-trip corrupts — bare `nan`
+    * sizes, the quoted-ID vs bare-int distinction the reference's
+    * classifier keys on, and multi-attachment cells segmented at each
+    * quoted numeric ID). attDate converts through the session zone. */
   def parseLegacyAttachments(cell: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val jsonish = regexp_replace(
-      regexp_replace(cell, "(?<=[\\[, ])nan(?=[,\\]])", "\"nan\""),
-      "'", "\"")
-    from_json(jsonish,
-      org.apache.spark.sql.types.ArrayType(
-        org.apache.spark.sql.types.StringType))
+    val parsed = call_function("legacy_attachments", cell)
+    transform(parsed, a => struct(
+      a.getField("attId").as("attId"),
+      a.getField("name").as("name"),
+      a.getField("filename").as("filename"),
+      a.getField("sizeBytes").as("sizeBytes"),
+      a.getField("url").as("url"),
+      to_timestamp(a.getField("attDate")).as("attDate")))
   }
 
   /** Typed contract frame from the legacy pipe-CSV (A2 fixture shape):
@@ -119,6 +123,7 @@ object Sources {
     * attachment list through [[parseLegacyAttachments]] +
     * [[classifyAttachment]] (F27+F28). */
   def typedFromLegacyCsv(raw: DataFrame): DataFrame = {
+    graft.functions.Functions.register(raw.sparkSession)
     val renames = Seq(
       "Nazov" -> "nazov", "ID" -> "id", "Inner-ID" -> "innerId",
       "Objednavatel_ICO" -> "objednavatelIco",
@@ -142,39 +147,11 @@ object Sources {
         expr("try_cast(Cena_podpisana AS DECIMAL(18,2))"))
       // note: withColumn/drop resolve names case-insensitively, so the
       // typed array gets a temp name until the legacy Prilohy is gone
-      .withColumn("prilohy_typed",
-        classifyAttachment(parseLegacyAttachments(col("Prilohy"))))
+      .withColumn("prilohy_typed", parseLegacyAttachments(col("Prilohy")))
       .drop("Index", "Datum_zverejnenia", "Datum_podpisu",
         "Datum_platnosti", "Datum_ucinnosti", "Posledna_zmena",
         "Cena_konecna", "Cena_podpisana", "Prilohy", "Dodatky")
       .withColumnRenamed("prilohy_typed", "prilohy")
-  }
-
-  /** F28 — attachment element classifier
-    * (04_tag_text_contracts.py:137-165): within the flat legacy list,
-    * the first numeric string is the ID (name follows it), the first
-    * https element the link, the second numeric the size, the first
-    * timestamp-shaped element the date. Yields zero or one typed
-    * Attachment struct (fixtures carry one attachment per cell, like
-    * the reference's per-element walk). */
-  def classifyAttachment(arr: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
-    val nonEmpty = size(arr) > 0
-    val nums = filter(arr, x => x.rlike("^[0-9]+$"))
-    // try_element_at: short lists yield nulls instead of ANSI errors
-    val struct0 = struct(
-      try_element_at(nums, lit(1)).as("attId"),
-      try_element_at(arr, lit(2)).as("name"),
-      try_element_at(arr, lit(3)).as("filename"),
-      // nums elements all match ^[0-9]+$, so the cast cannot fail
-      try_element_at(nums, lit(2)).cast("long").as("sizeBytes"),
-      try_element_at(filter(arr, x => x.startsWith("https://")), lit(1))
-        .as("url"),
-      to_timestamp(try_element_at(
-        filter(arr, x => x.rlike("^\\d{4}-\\d{2}-\\d{2} \\d{2}:\\d{2}:\\d{2}$")),
-        lit(1))).as("attDate"))
-    when(nonEmpty, array(struct0)).otherwise(
-      array().cast("array<struct<attId:string,name:string,filename:string," +
-        "sizeBytes:bigint,url:string,attDate:timestamp>>"))
   }
 
   /** S8 — directory-as-table text corpus: `contracts_text/<ID>/` txt
@@ -203,8 +180,11 @@ object Sources {
   def writeDictionary(df: DataFrame, wordCol: String, countCol: String,
       path: String): Unit = {
     val s = df.sparkSession
-    val n = df.count()
-    val body = df.select(col(wordCol).as("value"), lit(1).as("ord"),
+    // cache: the header line needs count() and the body needs the same
+    // frame — without it the whole mining pipeline runs twice
+    val cached = df.cache()
+    val n = cached.count()
+    val body = cached.select(col(wordCol).as("value"), lit(1).as("ord"),
       col(countCol).cast("long").as("k"))
     val head = s.range(1).select(lit(n.toString).as("value"),
       lit(0).as("ord"), lit(Long.MaxValue).as("k"))
@@ -212,6 +192,7 @@ object Sources {
       .orderBy(col("ord"), col("k").desc, col("value"))
       .select("value").coalesce(1)
       .write.mode("overwrite").text(path)
+    cached.unpersist()
   }
 
   /** S13 — suggested-keywords sink: `word\t\tweight`, weight desc

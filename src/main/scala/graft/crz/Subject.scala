@@ -21,6 +21,11 @@ object Subject {
           " x -> x.text), '\n')").as("t"))
     docs
       .withColumn("p1", locate("Predmet zmluvy", col("t")))
+      // p2 indexes the LOWERCASED copy while the slice reads the
+      // original — if a preceding char's lowercase form changed length
+      // the snippet would shift. The reference has the IDENTICAL quirk
+      // (08_extract_subject.py:42-56: casefold().find, slice original);
+      // kept deliberately for parity.
       .withColumn("p2", locate("úvodné ustanovenia", lower(col("t"))))
       .withColumn("predmet",
         when(col("p1") > 0, expr("substring(t, p1, 600)"))

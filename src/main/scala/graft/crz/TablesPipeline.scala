@@ -68,9 +68,10 @@ object TablesPipeline {
         count(lit(1)).as("n_rows"),
         sum(when(trim(col("cell")) =!= "" && col("cell") =!= "nan", 1L)
           .otherwise(0L)).as("n_nonempty"),
-        sum(when(col("cell").rlike("\\d"), 1L).otherwise(0L)).as("n_numericish"),
-        sum(when(col("cell").rlike("^[0-9., €]+$") &&
-          col("cell").rlike("\\d"), 1L).otherwise(0L)).as("n_numeric"),
+        // P12 is digit-CONTAINMENT (09_clean_tables.py:268 `\d+`
+        // findall > 0), not a strict numeric-shape match — '15%',
+        // '-100,00' and '10 ks' all count numeric in the reference
+        sum(when(col("cell").rlike("\\d"), 1L).otherwise(0L)).as("n_numeric"),
         sum(when(containsAny(col("cell"), kws.position), 1L).otherwise(0L))
           .as("n_position_hits"))
     base.join(spelled,
@@ -92,13 +93,18 @@ object TablesPipeline {
   }
 
   /** H1/A11 — header detection: keyword score of row 0 (> 2 ⇒ header,
-    * 09_clean_tables.py:222-241); P14 — VAT flags on the header row. */
+    * 09_clean_tables.py:222-241); P14 — VAT flags on the header row.
+    * Row-0 cells are reassembled in column order (sort_array over a
+    * (col_idx, cell) struct) — a bare collect_list's order is shuffle-
+    * dependent and would make the score/VAT flags nondeterministic. */
   def tableHeader(cells: DataFrame, kws: Keywords): DataFrame = {
     val s = cells.sparkSession
     Functions.register(s)
     val row0 = cells.where(col("row_idx") === 0)
       .groupBy(col("contract_id"), col("table_no"))
-      .agg(lower(concat_ws(" ", collect_list(col("cell")))).as("h"))
+      .agg(lower(array_join(expr(
+        "transform(sort_array(collect_list(struct(col_idx, cell))), x -> x.cell)"),
+        " ")).as("h"))
     val score = kws.header.map(k =>
       Functions.countOccurrences(col("h"), lit(k.toLowerCase)))
       .reduce(_ + _)
@@ -110,15 +116,40 @@ object TablesPipeline {
       .drop("h")
   }
 
-  /** H3 + P13 — price-column identification and the price-table gate:
-    * numeric columns (ratio > 0.75), excluding position columns;
-    * table kept iff at least one price column. */
-  def tableGate(stats: DataFrame, header: DataFrame): DataFrame = {
-    val priceCols = stats
-      .where(col("numeric_col") && !col("position_col") && !col("empty_col"))
+  /** H3 + P13 — price-column identification and the price-table gate
+    * (09_clean_tables.py:266-309): when the table has a detected
+    * header AND at least one column's header cell contains a
+    * `Hlavička cena` keyword (case-sensitive substring, like the
+    * reference's `keyword in column`), price candidates are RESTRICTED
+    * to those header-matched columns; otherwise every column is a
+    * candidate. Candidates must still clear the numeric-ratio > 0.75
+    * bar, and position/empty/dummy columns are excluded (empty and
+    * dummy columns are dropped before the reference reaches step 6).
+    * Table kept iff ≥ 1 price column. */
+  def tableGate(stats: DataFrame, header: DataFrame, cells: DataFrame,
+      kws: Keywords): DataFrame = {
+    val hdrPriceHit = kws.priceHeader
+      .map(k => col("cell").contains(k)).reduce(_ || _)
+    val hdrHits = cells.where(col("row_idx") === 0)
+      .select(col("contract_id"), col("table_no"), col("col_idx"),
+        hdrPriceHit.as("hdr_price"))
+    val byTable = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("contract_id"), col("table_no"))
+    val candidates = stats
+      .join(hdrHits, Seq("contract_id", "table_no", "col_idx"), "left")
+      .withColumn("hdr_price", coalesce(col("hdr_price"), lit(false)))
+      .join(header.select(col("contract_id"), col("table_no"),
+        col("has_header")), Seq("contract_id", "table_no"))
+      .withColumn("restricted",
+        col("has_header") &&
+          max(when(col("hdr_price"), 1).otherwise(0)).over(byTable) > 0)
+      .withColumn("price_col",
+        col("numeric_col") && !col("position_col") && !col("empty_col") &&
+          !col("dummy_col") && (!col("restricted") || col("hdr_price")))
+    val priceCols = candidates.where(col("price_col"))
       .groupBy(col("contract_id"), col("table_no"))
       .agg(count(lit(1)).as("n_price_cols"),
-        collect_list(col("col_idx")).as("price_cols"))
+        sort_array(collect_list(col("col_idx"))).as("price_cols"))
     val posCols = stats.where(col("position_col"))
       .groupBy(col("contract_id"), col("table_no"))
       .agg(count(lit(1)).as("n_position_cols"))
@@ -171,8 +202,13 @@ object TablesPipeline {
   def relevantTables(cells: DataFrame, keywords: DataFrame): DataFrame = {
     val s = cells.sparkSession
     Functions.register(s)
+    // (row_idx, col_idx)-ordered reassembly: the raw-text TF must see
+    // the file's own cell order (07:115-132), and multi-word keywords
+    // can only match across adjacent cells deterministically
     val text = cells.groupBy(col("contract_id"), col("table_no"))
-      .agg(lower(concat_ws(" ", collect_list(col("cell")))).as("t"))
+      .agg(lower(array_join(expr(
+        "transform(sort_array(collect_list(struct(row_idx, col_idx, cell))), " +
+          "x -> x.cell)"), " ")).as("t"))
     text.crossJoin(broadcast(keywords))
       .select(col("contract_id"), col("table_no"), col("category"),
         Functions.countOccurrences(col("t"), lower(col("keyword")))

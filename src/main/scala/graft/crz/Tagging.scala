@@ -51,8 +51,15 @@ object Tagging {
   /** Ranked tagged table (O1/A7/P8): join contract metadata (J3),
     * char counts, numeric 3-key desc ranking, zero-hit drop. */
   def ranked(corpus: DataFrame, keywords: DataFrame,
+      contracts: DataFrame): DataFrame =
+    rankedFromTagged(tagLong(corpus, keywords), corpus, contracts)
+
+  /** [[ranked]] over an already-built tagged frame — callers that also
+    * materialize the tagged output (Pipeline.run) must not pay the
+    * corpus-concat + TF crossJoin twice. */
+  def rankedFromTagged(tagged: DataFrame, corpus: DataFrame,
       contracts: DataFrame): DataFrame = {
-    val totals = grandTotals(tagLong(corpus, keywords))
+    val totals = grandTotals(tagged)
     val chars = corpus.groupBy(col("contract_id"))
       .agg(sum(length(col("text"))).as("pocetZnakov"))
     val w = Window.orderBy(col("vyskyty").desc, col("pocetZnakov").desc,

@@ -41,5 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("bigram_set"),
       new ExpressionInfo(classOf[BigramSet].getName, "bigram_set"),
       (exprs: Seq[Expression]) => BigramSet(exprs(0))))
+    e.injectFunction((
+      FunctionIdentifier("legacy_attachments"),
+      new ExpressionInfo(classOf[graft.crz.LegacyAttachments].getName,
+        "legacy_attachments"),
+      (exprs: Seq[Expression]) => graft.crz.LegacyAttachments(exprs(0))))
   }
 }

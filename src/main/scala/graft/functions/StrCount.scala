@@ -86,6 +86,10 @@ object Functions {
       "bigram_set",
       exprs => BigramSet(exprs(0)),
       "built-in")
+    registry.createOrReplaceTempFunction(
+      "legacy_attachments",
+      exprs => graft.crz.LegacyAttachments(exprs(0)),
+      "built-in")
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

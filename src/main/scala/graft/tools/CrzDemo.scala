@@ -63,7 +63,7 @@ object CrzDemo {
     val kws = TablesPipeline.Keywords(
       position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
       header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
-      priceHeader = Seq("cena", "dph", "€"))
+      priceHeader = Seq("Cena", "DPH", "€"))
     val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
       .withColumnRenamed("value", "word")
       .where(!$"word".rlike("^[0-9]+$"))
@@ -72,7 +72,7 @@ object CrzDemo {
     val dataCells = cells.where($"row_idx" > 0)
     val stats = TablesPipeline.columnStats(dataCells, spellDict, kws)
     val hdr = TablesPipeline.tableHeader(cells, kws)
-    val gate = TablesPipeline.tableGate(stats, hdr)
+    val gate = TablesPipeline.tableGate(stats, hdr, cells, kws)
     val cleaned = TablesPipeline.cleanedCells(dataCells, stats, gate)
     val sugg = TablesPipeline.suggestedKeywords(dataCells, stats, gate, keywords)
     Sources.writeSuggestedKeywords(sugg, "word", "weight",

@@ -82,6 +82,33 @@ class CrzSpec extends SparkSpec {
     assert(row.getAs[String]("attId") == "500007")
   }
 
+  test("F27/F28: apostrophe names survive, multi-attachment cells segment") {
+    // Python repr double-quotes strings containing apostrophes — a
+    // quote-rewriting JSON parse corrupts them and nulls the array
+    val cells = Seq(
+      """['500001', "O'Brien zmluva", 'ob.pdf', 100, """ +
+        """'https://crz/ob.pdf', '2021-01-01 10:00:00']""",
+      """['1', 'a', 'a.doc', 10, 'x', '2020-01-01 00:00:00', """ +
+        """'2', 'b', 'b.pdf', 20, 'https://crz/b.pdf', """ +
+        """'2020-01-02 00:00:00']""").toDF("Prilohy")
+    val parsed = cells
+      .select(Sources.parseLegacyAttachments($"Prilohy").as("p"))
+      .select(explode($"p").as("a")).select("a.*").collect()
+    assert(parsed.length == 3) // 1 + 2 attachments, none dropped
+    val ob = parsed.head
+    assert(ob.getAs[String]("name") == "O'Brien zmluva")
+    assert(ob.getAs[Long]("sizeBytes") == 100L)
+    assert(ob.getAs[String]("url") == "https://crz/ob.pdf")
+    // second cell: per-attachment fields stay with THEIR attachment —
+    // no chimera mixing attachment 1's id with attachment 2's link
+    val a1 = parsed(1); val a2 = parsed(2)
+    assert(a1.getAs[String]("attId") == "1" && a1.isNullAt(a1.fieldIndex("url")))
+    assert(a2.getAs[String]("attId") == "2" &&
+      a2.getAs[String]("url") == "https://crz/b.pdf" &&
+      a2.getAs[Long]("sizeBytes") == 20L &&
+      a2.getAs[String]("filename") == "b.pdf")
+  }
+
   // ---- A5/A6: tagging + subject + dictionary ----
 
   private lazy val corpus =
@@ -227,7 +254,9 @@ class CrzSpec extends SparkSpec {
   private lazy val tableKws = TablesPipeline.Keywords(
     position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
     header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
-    priceHeader = Seq("cena", "dph", "€"))
+    // real-cased like keywords.txt — the header-restriction match is
+    // case-sensitive (reference: `keyword in column`, 09:283-286)
+    priceHeader = Seq("Cena", "DPH", "€"))
 
   private lazy val allCells = Seq(1, 2, 3).map { n =>
     TablesPipeline.readTableCsv(spark,
@@ -262,7 +291,7 @@ class CrzSpec extends SparkSpec {
     val dataCells = allCells.where($"row_idx" > 0) // stats on data rows
     val stats = TablesPipeline.columnStats(dataCells, spellDict, tableKws)
     val hdr = TablesPipeline.tableHeader(allCells, tableKws)
-    val gate = TablesPipeline.tableGate(stats, hdr)
+    val gate = TablesPipeline.tableGate(stats, hdr, allCells, tableKws)
 
     val t2stats = stats.where($"table_no" === 2).collect()
       .map(r => r.getAs[Int]("col_idx") -> r).toMap
@@ -278,6 +307,14 @@ class CrzSpec extends SparkSpec {
       r.getAs[Int]("table_no") -> r.getAs[Boolean]("price_table")).toMap
     assert(gates == Map(1 -> true, 2 -> true, 3 -> false))
 
+    // H3 header-restricted path: table 1 has a header and its 'Cena s
+    // DPH' column matches a Hlavička-cena keyword, so the all-digit
+    // quantity column 'Počet MD' (col 1) must NOT gate as a price
+    // column — price candidates restrict to header-matched columns
+    val t1 = gate.where($"table_no" === 1).head()
+    assert(t1.getAs[Long]("n_price_cols") == 1L)
+    assert(t1.getAs[scala.collection.Seq[Int]]("price_cols") == Seq(2))
+
     val cleaned = TablesPipeline.cleanedCells(dataCells, stats, gate)
     // table 3 gated out; empty+dummy columns of table 2 dropped
     assert(cleaned.where($"table_no" === 3).count() == 0)
@@ -291,7 +328,7 @@ class CrzSpec extends SparkSpec {
     val dataCells = allCells.where($"row_idx" > 0)
     val stats = TablesPipeline.columnStats(dataCells, spellDict, tableKws)
     val hdr = TablesPipeline.tableHeader(allCells, tableKws)
-    val gate = TablesPipeline.tableGate(stats, hdr)
+    val gate = TablesPipeline.tableGate(stats, hdr, allCells, tableKws)
     val sugg = TablesPipeline.suggestedKeywords(dataCells, stats, gate,
         keywords)
       .select("word").as[String].collect().toSet
