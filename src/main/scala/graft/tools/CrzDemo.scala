@@ -35,7 +35,8 @@ object CrzDemo {
       keywordsTxt = s"$fx/keywords.txt",
       corpusDir = s"$fx/contracts_text",
       dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
-      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000"))))
+      params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")),
+      dictMinCount = 0L)) // fixture corpus: every OOV word is rare
     val typedXml = Sources.typedContracts(
       Sources.readContractsXml(spark, s"$fx/xml")._1)
     println(s"[xml] contracts=${run.contracts.count()} " +
