@@ -61,35 +61,33 @@ case class CountOccurrences(left: Expression, right: Expression)
 }
 
 object Functions {
+
+  /** Single source of truth for graft's native functions: (name,
+    * implementing class, builder). Consumed by BOTH [[register]] (the
+    * imperative session path) and [[GraftExtensions]] (the
+    * SparkSessionExtensions path) so the two can never drift. */
+  val all: Seq[(String, Class[_], Seq[Expression] => Expression)] = Seq(
+    ("count_occurrences", classOf[CountOccurrences],
+      (e: Seq[Expression]) => CountOccurrences(e(0), e(1))),
+    ("vec_dot", classOf[FloatDot],
+      (e: Seq[Expression]) => FloatDot(e(0), e(1))),
+    ("minhash_sig", classOf[MinhashSig],
+      (e: Seq[Expression]) => MinhashSig(e(0))),
+    ("topk_neighbors", classOf[TopKNeighbors],
+      (e: Seq[Expression]) => TopKNeighbors(e(0), e(1)).toAggregateExpression()),
+    ("bigram_set", classOf[BigramSet],
+      (e: Seq[Expression]) => BigramSet(e(0))),
+    ("legacy_attachments", classOf[graft.crz.LegacyAttachments],
+      (e: Seq[Expression]) => graft.crz.LegacyAttachments(e(0))))
+
   /** Idempotently register graft's native expressions with a session's
     * FunctionRegistry (also makes them usable from spark.sql text). */
   def register(s: SparkSession): Unit = {
     val registry =
       ClassicConversions.castToImpl(s).sessionState.functionRegistry
-    registry.createOrReplaceTempFunction(
-      "count_occurrences",
-      exprs => CountOccurrences(exprs(0), exprs(1)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "vec_dot",
-      exprs => FloatDot(exprs(0), exprs(1)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "minhash_sig",
-      exprs => MinhashSig(exprs(0)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "topk_neighbors",
-      exprs => TopKNeighbors(exprs(0), exprs(1)).toAggregateExpression(),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "bigram_set",
-      exprs => BigramSet(exprs(0)),
-      "built-in")
-    registry.createOrReplaceTempFunction(
-      "legacy_attachments",
-      exprs => graft.crz.LegacyAttachments(exprs(0)),
-      "built-in")
+    all.foreach { case (name, _, builder) =>
+      registry.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 
   /** Column-API surface for [[CountOccurrences]]; requires

@@ -18,11 +18,19 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  /** True if (s, id) ranks strictly better than (s2, id2). */
-  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean =
-    s > s2 || (s == s2 && id < id2)
+  /** True if (s, id) ranks strictly better than (s2, id2), under
+    * Spark's sort semantics for doubles: NaN orders ABOVE every value
+    * (so it ranks first under `desc`, like the row_number-window
+    * formulation) and -0.0 ties +0.0. Double.compare gives the NaN
+    * rule; zeros are normalized at insert. */
+  @inline private def better(s: Double, id: Long, s2: Double, id2: Long): Boolean = {
+    val c = java.lang.Double.compare(s, s2)
+    c > 0 || (c == 0 && id < id2)
+  }
 
-  def insert(s: Double, id: Long): Unit = {
+  def insert(score: Double, id: Long): Unit = {
+    // -0.0 == 0.0 is true; store +0.0 so Double.compare ties them
+    val s = if (score == 0.0d) 0.0d else score
     if (size == k && !better(s, id, scores(size - 1), ids(size - 1))) return
     // find insertion point (descending order)
     var i = if (size == k) size - 1 else size
@@ -69,8 +77,17 @@ case class TopKNeighbors(
   override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
     case StructType(Array(a, b))
         if a.dataType == DoubleType && b.dataType == LongType =>
-      if (kExpr.foldable) TypeCheckResult.TypeCheckSuccess
-      else TypeCheckResult.TypeCheckFailure("k must be foldable")
+      if (!kExpr.foldable)
+        TypeCheckResult.TypeCheckFailure("k must be foldable")
+      else
+        try {
+          if (k <= 0)
+            TypeCheckResult.TypeCheckFailure(s"k must be positive, got $k")
+          else TypeCheckResult.TypeCheckSuccess
+        } catch {
+          case e: IllegalArgumentException =>
+            TypeCheckResult.TypeCheckFailure(e.getMessage)
+        }
     case other => TypeCheckResult.TypeCheckFailure(
       s"topk_neighbors requires struct<score: double, id: bigint>, got ${other.sql}")
   }

@@ -197,6 +197,10 @@ object DedupOps {
     var labels = sym.select($"doc_a".as("id")).distinct()
       .withColumn("label", $"id")
       .cache()
+    // single-scan materialization: round 1 scans labels twice (self
+    // rows + the neighbor join) — a cold cache would recompute the
+    // distinct shuffle per scan
+    labels.count()
     var changed = 1L
     var rounds = 0
     while (changed > 0 && rounds < 35) {

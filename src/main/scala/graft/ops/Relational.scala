@@ -3,7 +3,6 @@ package graft.ops
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -29,7 +28,7 @@ object Relational {
     * bit-identical DuckDB-oracle comparison and the right choice at
     * scale anyway (no float-summation drift across 1000 executors).
     */
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def dec2 = graft.Money.dec2 _
 
   /** q01 — the reference's clean-filter pipeline (SURVEY.md §7.2):
     * price filter (P6: 02_filter_by_CIN.py:234-243), date filter
@@ -149,7 +148,10 @@ object Relational {
 
   /** q05 — anti join (J6: live-vs-XML link reconciliation
     * 03_download_contracts.py:516-547; D5 keyword exclusion 09:320):
-    * customers that never ordered. Broadcast the aggregated key set.
+    * customers that never ordered. Plain left_anti — the planner
+    * picks broadcast vs shuffle from the filtered build side's size
+    * (AQE re-plans at runtime); no hint is forced here because at
+    * 100 TB the date-filtered orders side is NOT reliably small.
     */
   def antiJoin(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._

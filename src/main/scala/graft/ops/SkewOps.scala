@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -19,7 +18,7 @@ import graft.Tables
   */
 object SkewOps {
 
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def dec2 = graft.Money.dec2 _
 
   private val nSalts = 16
 

@@ -2,7 +2,6 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 import graft.Tables
 
@@ -22,7 +21,7 @@ import graft.Tables
   */
 object StatsOps {
 
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def dec2 = graft.Money.dec2 _
 
   /** q15 — per-column stats: non-empty count (P10), numeric-row ratio
     * with the reference's 0.75 price-column threshold (P12/H3), all in

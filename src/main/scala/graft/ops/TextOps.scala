@@ -390,8 +390,11 @@ object TextOps {
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
+      // explicit class, not \s: Java \s includes \x0B (vertical tab),
+      // DuckDB's RE2 \s does not — spelling the class out pins both
+      // engines to the same normalization
       .withColumn("norm",
-        trim(regexp_replace(lower($"text"), "\\s+", " ")))
+        trim(regexp_replace(lower($"text"), "[ \\t\\n\\x0B\\f\\r]+", " ")))
       .select($"doc_id",
         substring(md5($"norm"), 1, 16).as("fp"),
         substring(md5(substring($"norm", 1, 100)), 1, 16).as("fp_prefix"),
@@ -404,6 +407,7 @@ object TextOps {
       |  substr(md5(substr(norm, 1, 100)), 1, 16) AS fp_prefix,
       |  CAST(length(norm) AS BIGINT) AS norm_len
       |FROM (SELECT doc_id,
-      |        trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS norm
+      |        trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
+      |          AS norm
       |      FROM documents)""".stripMargin
 }

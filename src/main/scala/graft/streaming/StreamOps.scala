@@ -4,7 +4,6 @@ import java.util.concurrent.atomic.AtomicInteger
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
 
 /** Structured Streaming operators (SURVEY.md §2.9 / §7.1.7: the
   * reference's daily-dump loop 00_download_CRZ_DB.py:179-219 re-seamed
@@ -19,33 +18,42 @@ import org.apache.spark.sql.types.DecimalType
 object StreamOps {
 
   private val runId = new AtomicInteger(0)
+  // last memory-sink table per op — dropped on the next invocation so
+  // repeated runs in one session don't accumulate driver-side results
+  private val lastTable =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
 
-  private def dec2(c: org.apache.spark.sql.Column) = c.cast(DecimalType(12, 2))
+  private def dec2 = graft.Money.dec2 _
 
-  /** q34 — the q30 tumbling-window aggregation executed as a real
-    * Structured Streaming query: parquet file source → event-time
-    * window aggregate → in-memory sink (complete mode), drained
-    * synchronously with processAllAvailable. Oracle-comparable
-    * because complete mode emits every window.
-    */
-  def streamEventWindows(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  /** The events table as a file-source STREAM, with the same
+    * schema-aware event-time typing as the batch `Tables.events`: a
+    * nanos-long ts (the legacy-conf parquet shape) floor-divides to
+    * micros; a real timestamp column streams as-is. The batch path
+    * branches on the actual schema — the stream must too, or it
+    * breaks on files the batch queries process fine. */
+  private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    // schema must match the raw file (ts is a nanos long under the
-    // legacy conf); event-time conversion happens in the select.
     val raw = s.read.parquet(s"$dir/events.parquet")
     val stream = s.readStream
       .schema(raw.schema)
       .option("pathGlobFilter", "events.parquet")
       .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val agg = stream
-      .groupBy(window($"ts", "1 hour"), $"event_type")
-      .agg(count(lit(1)).as("n"),
-        sum(dec2($"value")).cast("double").as("sum_value"))
-    val name = s"graft_stream_windows_${runId.incrementAndGet()}"
-    val q = agg.writeStream
-      .outputMode("complete")
+    if (raw.schema("ts").dataType ==
+        org.apache.spark.sql.types.LongType)
+      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else stream
+  }
+
+  /** Drain a streaming frame synchronously into a memory sink and
+    * return the materialized table; the previous invocation's sink
+    * table (same prefix) is dropped first. */
+  private def drainToTable(s: SparkSession, df: DataFrame,
+      prefix: String, mode: String): DataFrame = {
+    val name = s"${prefix}_${runId.incrementAndGet()}"
+    Option(lastTable.put(prefix, name))
+      .foreach(s.catalog.dropTempView(_))
+    val q = df.writeStream
+      .outputMode(mode)
       .format("memory")
       .queryName(name)
       .start()
@@ -55,6 +63,21 @@ object StreamOps {
       q.stop()
     }
     s.table(name)
+  }
+
+  /** q34 — the q30 tumbling-window aggregation executed as a real
+    * Structured Streaming query: parquet file source → event-time
+    * window aggregate → in-memory sink (complete mode), drained
+    * synchronously with processAllAvailable. Oracle-comparable
+    * because complete mode emits every window.
+    */
+  def streamEventWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+    drainToTable(s, agg, "graft_stream_windows", "complete")
       .select($"window.start".as("ws"), $"window.end".as("we"),
         $"event_type", $"n", $"sum_value")
   }
@@ -82,12 +105,7 @@ object StreamOps {
   def statefulUserCounts(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val stream = s.readStream
-      .schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
+    val stream = eventsStream(s, dir)
       .select($"user_id", $"value")
       .as[(Long, Double)]
     val updated = stream
@@ -102,22 +120,11 @@ object StreamOps {
           state.update(UserState(n, total))
           Iterator.single(UserCount(user, n, total))
       }
-    val name = s"graft_stateful_counts_${runId.incrementAndGet()}"
-    val q = updated.toDF().writeStream
-      .outputMode("update")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
     // update mode appends one row per (batch, user); keep the latest
     // per user for the final answer
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy($"user_id").orderBy($"n_events".desc)
-    s.table(name)
+    drainToTable(s, updated.toDF(), "graft_stateful_counts", "update")
       .withColumn("rn", org.apache.spark.sql.functions.row_number().over(w))
       .where($"rn" === 1).drop("rn")
   }
@@ -132,28 +139,10 @@ object StreamOps {
     */
   def streamDedup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val stream = s.readStream
-      .schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    val deduped = stream
+    val deduped = eventsStream(s, dir)
       .withWatermark("ts", "1 hour")
       .dropDuplicates("user_id", "event_type")
-    val name = s"graft_stream_dedup_${runId.incrementAndGet()}"
-    val q = deduped.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try {
-      q.processAllAvailable()
-    } finally {
-      q.stop()
-    }
-    s.table(name)
+    drainToTable(s, deduped, "graft_stream_dedup", "append")
       .select($"event_id", $"user_id", $"event_type", $"ts")
   }
 }
