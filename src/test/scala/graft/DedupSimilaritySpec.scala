@@ -87,7 +87,11 @@ class DedupSimilaritySpec extends SparkSpec {
     // id ASC) tie-break on both paths
     val rows = Seq(
       (1L, 10L, 0.9), (1L, 11L, 0.9), (1L, 12L, 0.8), (1L, 13L, 0.95),
-      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.5)).toDF("g", "id", "s")
+      (2L, 20L, 0.5), (2L, 21L, 0.5), (2L, 22L, 0.5),
+      // NaN must rank FIRST under desc (Spark sorts NaN above all
+      // doubles) and -0.0 must tie +0.0 — both paths must agree
+      (3L, 30L, Double.NaN), (3L, 31L, 1.0), (3L, 32L, 0.99),
+      (4L, 40L, -0.0), (4L, 41L, 0.0), (4L, 42L, -1.0)).toDF("g", "id", "s")
     val viaAgg = rows.groupBy($"g")
       .agg(expr("topk_neighbors(struct(s, id), 2)").as("top"))
       .select($"g", posexplode($"top").as(Seq("pos", "t")))
