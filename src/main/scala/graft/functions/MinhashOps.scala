@@ -35,7 +35,11 @@ object MinhashKernels {
       i += 1
     }
     val md = java.security.MessageDigest.getInstance("MD5")
-    val mins = new Array[String](nPerms)
+    // running minimums kept as raw hex chars, compared in place — no
+    // per-shingle substring/string allocation (ASCII hex ordering ==
+    // UTF8String binary ordering)
+    val mins = Array.ofDim[Char](nPerms, sliceLen)
+    val minSet = new Array[Boolean](nPerms)
     val ss = new Array[Any](seen.size())
     val hex = new Array[Char](32)
     val it = seen.iterator()
@@ -52,20 +56,31 @@ object MinhashKernels {
         hex(2 * j + 1) = hexChars(digest(j) & 0xf)
         j += 1
       }
-      val hexStr = new String(hex)
       var p = 0
       while (p < nPerms) {
-        val slice = hexStr.substring(p * sliceLen, p * sliceLen + sliceLen)
-        // ASCII hex: String ordering == UTF8String binary ordering
-        if (mins(p) == null || slice.compareTo(mins(p)) < 0) mins(p) = slice
+        val off = p * sliceLen
+        val m = mins(p)
+        var cmp = if (minSet(p)) 0 else -1 // unset ⇒ adopt
+        var c = 0
+        while (cmp == 0 && c < sliceLen) {
+          cmp = Character.compare(hex(off + c), m(c))
+          c += 1
+        }
+        if (cmp < 0) {
+          var d = 0
+          while (d < sliceLen) { m(d) = hex(off + d); d += 1 }
+          minSet(p) = true
+        }
         p += 1
       }
     }
     InternalRow(
       new GenericArrayData(ss),
       new GenericArrayData(
-        mins.map(m => if (m == null) null else UTF8String.fromString(m))
-          .asInstanceOf[Array[Any]]))
+        (0 until nPerms).map(p =>
+          if (!minSet(p)) null
+          else UTF8String.fromString(new String(mins(p))))
+          .toArray[Any]))
   }
 }
 
