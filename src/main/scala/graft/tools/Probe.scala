@@ -1,6 +1,6 @@
 package graft.tools
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.SparkEntry
 
@@ -11,12 +11,38 @@ import graft.SparkEntry
   *   sbt "runMain graft.tools.Probe streamDedup /root/testdata/sf0.01"
   */
 object Probe {
+
+  private def stage(label: String)(f: => Long): Unit = {
+    val t0 = System.nanoTime()
+    val n = f
+    println(f"STAGE $label n=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+  }
+
+  /** The q24 pair frame (both sides + native dot), shared by the
+    * cosineStages / cosineTopkAgg decompositions so the two time the
+    * same pair-generation work. */
+  private def cosinePairs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val e = graft.Tables.embeddings(spark, sfDir)
+      .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
+    val a = e.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
+    val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
+      $"nrm".as("nb"))
+    a.join(b, $"vec_id" =!= $"neighbor_id")
+      .withColumn("cos_sim", expr("vec_dot(ea, eb)") / ($"na" * $"nb"))
+  }
+
   def main(args: Array[String]): Unit = {
-    val name = args(0)
-    val sfDir = if (args.length > 1) args(1) else "/root/testdata/sf0.01"
+    // flags are not positional operands: `Probe q03 --bench` must use
+    // the default sf dir, not try to read parquet under "--bench"
+    val positional = args.filterNot(_.startsWith("--"))
+    val name = positional(0)
+    val sfDir =
+      if (positional.length > 1) positional(1) else "/root/testdata/sf0.01"
     val explain = args.contains("--explain")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    // extensions applied at build time — count_occurrences/vec_dot are
+    // extensions applied at build time — every Functions.all entry is
     // SQL-visible with no imperative register() (GraftExtensions)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -59,24 +85,24 @@ object Probe {
         // timing decomposition of the ROUND-1 composed-expression
         // minhash shape — kept as the comparison baseline for the
         // shipped native minhash_sig kernel (see PLANS.md), NOT the
-        // pipeline q21 executes today
+        // pipeline q21 executes today. Every stage aggregates OVER the
+        // computed column — a bare count() would let ColumnPruning
+        // delete the very work being timed.
         import org.apache.spark.sql.functions._
         import spark.implicits._
-        def stage(label: String)(f: => Long): Unit = {
-          val t0 = System.nanoTime()
-          val n = f
-          println(f"STAGE $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
-        }
         val docs = graft.Tables.documents(spark, sfDir)
-        stage("scan")(docs.count())
+        stage("scan+length")(
+          docs.select(sum(length($"text"))).head().getLong(0))
         val withSet = docs.where(length($"text") >= 5)
           .select($"doc_id", lower($"text").as("t"))
           .select($"doc_id", expr(
             "array_distinct(transform(sequence(1, length(t) - 4), " +
               "i -> substring(t, i, 5)))").as("ss"))
-        stage("shingle-sets")(withSet.count())
+        stage("shingle-sets")(
+          withSet.select(sum(hash($"ss")).cast("long")).head().getLong(0))
         val withDg = withSet.withColumn("dg", expr("transform(ss, s -> md5(s))"))
-        stage("digests")(withDg.select($"doc_id", $"dg").count())
+        stage("digests")(
+          withDg.select(sum(hash($"dg")).cast("long")).head().getLong(0))
         val sigExprs = (0 until 8).map(p =>
           expr(s"array_min(transform(dg, d -> substring(d, ${p * 4 + 1}, 4)))")
             .as(s"m$p"))
@@ -97,25 +123,14 @@ object Probe {
         val setsB = sig.select($"doc_id".as("doc_b"), $"ss".as("ssb"))
         val inter = cand.join(setsA, "doc_a").join(setsB, "doc_b")
           .withColumn("n_inter", size(array_intersect($"ssa", $"ssb")))
-        stage("verify-intersect")(inter.count())
+        stage("verify-intersect")(
+          inter.select(sum($"n_inter").cast("long")).head().getLong(0))
         spark.emptyDataFrame
       case "cosineStages" =>
         // timing decomposition of q24: pair generation + dot vs window
         import org.apache.spark.sql.functions._
         import spark.implicits._
-        graft.functions.Functions.register(spark)
-        def stage(label: String)(f: => Long): Unit = {
-          val t0 = System.nanoTime()
-          val n = f
-          println(f"STAGE $label rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
-        }
-        val e = graft.Tables.embeddings(spark, sfDir)
-          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-        val a = e.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
-        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
-          $"nrm".as("nb"))
-        val pairs = a.join(b, $"vec_id" =!= $"neighbor_id")
-          .withColumn("cos_sim", expr("vec_dot(ea, eb)") / ($"na" * $"nb"))
+        val pairs = cosinePairs(spark, sfDir)
         stage("pairs+dot")(pairs.select($"vec_id", $"neighbor_id", $"cos_sim")
           .filter($"cos_sim" > 2.0).count()) // forces dot eval, empty result
         val w = org.apache.spark.sql.expressions.Window
@@ -129,20 +144,11 @@ object Probe {
         // the row_number window — compare timings with cosineStages
         import org.apache.spark.sql.functions._
         import spark.implicits._
-        graft.functions.Functions.register(spark)
-        val e = graft.Tables.embeddings(spark, sfDir)
-          .withColumn("nrm", sqrt(expr("vec_dot(embedding, embedding)")))
-        val a = e.select($"vec_id", $"embedding".as("ea"), $"nrm".as("na"))
-        val b = e.select($"vec_id".as("neighbor_id"), $"embedding".as("eb"),
-          $"nrm".as("nb"))
-        val t0 = System.nanoTime()
-        val n = a.join(b, $"vec_id" =!= $"neighbor_id")
-          .withColumn("cos_sim", expr("vec_dot(ea, eb)") / ($"na" * $"nb"))
+        stage("agg-top5")(cosinePairs(spark, sfDir)
           .groupBy($"vec_id")
           .agg(expr("topk_neighbors(struct(cos_sim, neighbor_id), 5)").as("top"))
           .select($"vec_id", posexplode($"top"))
-          .count()
-        println(f"STAGE agg-top5 rows=$n t=${(System.nanoTime() - t0) / 1e9}%.2f s")
+          .count())
         spark.emptyDataFrame
       case "mediaFeatures" => graft.ops.MultimodalOps.mediaFeatures(spark, sfDir)
       case "layoutDemo" =>
