@@ -19,6 +19,26 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(stream).count() == 0)
   }
 
+  test("streaming source handles TIMESTAMP(MICROS) events like batch " +
+      "(the testdata's nanos-long shape never exercises this branch)") {
+    import java.nio.file.{Files, Paths}
+    val dir = Files.createTempDirectory("graft_micros").toString
+    // re-write the events table with a real timestamp column; rename
+    // the single part file to the events.parquet name the source globs
+    val stage = s"$dir/stage"
+    Tables.events(spark, sf0001).coalesce(1)
+      .write.mode("overwrite").parquet(stage)
+    val part = new java.io.File(stage).listFiles()
+      .find(_.getName.endsWith(".parquet")).get
+    Files.move(part.toPath, Paths.get(dir, "events.parquet"))
+    val stream = StreamOps.streamEventWindows(spark, dir)
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    val batch = StatsOps.eventWindows(spark, dir)
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
+  }
+
   test("streaming dedup emits one row per distinct key") {
     val d = StreamOps.streamDedup(spark, sf0001)
     val expected = Tables.events(spark, sf0001)
