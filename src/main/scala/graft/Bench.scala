@@ -37,12 +37,12 @@ object Bench {
         "lineitem", "documents", "embeddings").foreach { t =>
         warm {
           val df = spark.read.parquet(s"$sfDir/$t.parquet")
-          df.select(sum(hash(df.columns.map(col): _*))).collect()
+          df.select(sum(hash(df.columns.toIndexedSeq.map(col): _*))).collect()
         }
       }
       warm { // nanos-ts legacy conf path
         val ev = Tables.events(spark, sfDir)
-        ev.select(sum(hash(ev.columns.map(col): _*))).collect()
+        ev.select(sum(hash(ev.columns.toIndexedSeq.map(col): _*))).collect()
       }
     }
     // deterministic name order — run-to-run comparability of per-query

@@ -66,7 +66,7 @@ object Pipeline {
               "suppDate:timestamp,attachments:array<struct<attId:string," +
               "name:string,filename:string,sizeBytes:bigint,url:string," +
               "attDate:timestamp>>>>)"))
-        fromXml.unionByName(legacy.select(fromXml.columns.map(col): _*))
+        fromXml.unionByName(legacy.select(fromXml.columns.toIndexedSeq.map(col): _*))
       case None => fromXml
     }
     // stage 02 — clean-filter cascade + audit

@@ -38,7 +38,7 @@ object TablesPipeline {
       .option("multiLine", "true").option("quote", "\"")
       .csv(path)
     val cols = raw.columns
-    val arr = array(cols.map(c => coalesce(col(c), lit(""))): _*)
+    val arr = array(cols.toIndexedSeq.map(c => coalesce(col(c), lit(""))): _*)
     raw
       .withColumn("row_idx",
         row_number().over(org.apache.spark.sql.expressions.Window
