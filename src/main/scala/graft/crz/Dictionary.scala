@@ -16,6 +16,16 @@ import org.apache.spark.sql.functions._
   */
 object Dictionary {
 
+  /** Load a hunspell-style `.dic` wordlist: first line is the word
+    * count header (dropped — it is the only all-digit line a wordlist
+    * legitimately contains), one word per line after. One loader for
+    * Pipeline.run and every spec — the header rule lives here only. */
+  def loadDic(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    s.read.text(path)
+      .withColumnRenamed("value", "word")
+      .where(!col("word").rlike("^[0-9]+$"))
+
   /** F21 — Slovak-alphabet tokenizer (05_build:22-38): split on any
     * run of characters outside the Slovak alphabet. */
   val slovakTokenSplit = "[^aáäbcčdďeéfghiíjklĺľmnňoóôpqrŕsštťuúvwxyýzž]+"

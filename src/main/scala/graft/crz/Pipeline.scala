@@ -87,9 +87,7 @@ object Pipeline {
     val ranked = Tagging.rankedFromTagged(tagged, corpus, clean)
     // stage 08 — subjects; stage 05_build — dictionary mining
     val subjects = Subject.extract(corpus)
-    val dic = s.read.text(cfg.dictionaryDic)
-      .withColumnRenamed("value", "word")
-      .where(!col("word").rlike("^[0-9]+$"))
+    val dic = Dictionary.loadDic(s, cfg.dictionaryDic)
     val minedWords = Dictionary.mineSpecialWords(corpus, dic, cfg.dictMinCount)
     Outputs(contracts, quarantined, clean, audit, tagged, ranked,
       subjects, minedWords)

@@ -65,9 +65,7 @@ object CrzDemo {
       position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
       header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
       priceHeader = Seq("Cena", "DPH", "€"))
-    val dic = spark.read.text(s"$fx/dictionary/sk_fixture.dic")
-      .withColumnRenamed("value", "word")
-      .where(!$"word".rlike("^[0-9]+$"))
+    val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
     val spellDict = dic.union(
       keywords.select(explode(split(lower($"keyword"), " ")).as("word")))
     val dataCells = cells.where($"row_idx" > 0)

@@ -110,15 +110,30 @@ class DedupSimilaritySpec extends SparkSpec {
     assert("ObjectHashAggregate".r.findAllIn(plan).length >= 2)
   }
 
-  test("IVF top-k is a subset-ranking of brute force within the bucket") {
+  test("IVF top-k equals an independent per-bucket brute-force ranking") {
     val ivf = SimilarityOps.annIvf(spark, sf0001)
+      .select($"vec_id", $"neighbor_id", $"rn")
+      .as[(Long, Long, Long)].collect().toSet
+    // independent oracle: collect the (small) sf0.001 bucket and rank
+    // in plain Scala with the SAME left-to-right double arithmetic as
+    // the vec_dot kernel — bit-identical cosines, so ranks must match
     val emb = Tables.embeddings(spark, sf0001)
-      .select($"vec_id", $"label")
-    // every IVF neighbor shares the query's label (bucket restriction)
-    val joined = ivf
-      .join(emb, "vec_id")
-      .join(emb.select($"vec_id".as("neighbor_id"), $"label".as("nl")),
-        "neighbor_id")
-    assert(joined.where($"label" =!= $"nl").count() == 0)
+      .select($"vec_id", $"label", $"embedding")
+      .as[(Long, String, Array[Float])].collect()
+    def dot(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0d; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    val nrm = emb.map { case (id, _, e) => id -> math.sqrt(dot(e, e)) }.toMap
+    val expected = (for {
+      (ida, la, ea) <- emb
+      ranked = emb.filter { case (idb, lb, _) => idb != ida && lb == la }
+        .map { case (idb, _, eb) => (idb, dot(ea, eb) / (nrm(ida) * nrm(idb))) }
+        .sortBy { case (idb, cos) => (-cos, idb) }
+        .take(3).zipWithIndex
+      ((idb, _), i) <- ranked
+    } yield (ida, idb, (i + 1).toLong)).toSet
+    assert(ivf == expected)
   }
 }

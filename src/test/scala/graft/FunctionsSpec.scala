@@ -93,8 +93,13 @@ class FunctionsSpec extends SparkSpec {
     (1 to 300).foreach { _ =>
       val a = genDate.sample.get
       val b = genDate.sample.get
-      val viaTs = java.sql.Timestamp.valueOf(fmt(a))
-        .compareTo(java.sql.Timestamp.valueOf(fmt(b))) >= 0
+      // LocalDateTime: pure field-wise compare. Timestamp.valueOf
+      // resolves through the JVM default zone, where a DST spring-
+      // forward gap would make the equivalence genuinely false.
+      val viaTs = java.time.LocalDateTime
+        .of(a._1, a._2, a._3, a._4, a._5, a._6)
+        .compareTo(java.time.LocalDateTime
+          .of(b._1, b._2, b._3, b._4, b._5, b._6)) >= 0
       assert(recursiveGte(a, b) == viaTs, s"a=${fmt(a)} b=${fmt(b)}")
     }
   }

@@ -26,8 +26,12 @@ class StreamingSpec extends SparkSpec {
     // re-write the events table with a real timestamp column; rename
     // the single part file to the events.parquet name the source globs
     val stage = s"$dir/stage"
-    Tables.events(spark, sf0001).coalesce(1)
+    // Spark's DEFAULT parquet timestamp output is INT96 — force the
+    // MICROS physical type this test is named for
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    try Tables.events(spark, sf0001).coalesce(1)
       .write.mode("overwrite").parquet(stage)
+    finally spark.conf.unset("spark.sql.parquet.outputTimestampType")
     val part = new java.io.File(stage).listFiles()
       .find(_.getName.endsWith(".parquet")).get
     Files.move(part.toPath, Paths.get(dir, "events.parquet"))

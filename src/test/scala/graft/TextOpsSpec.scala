@@ -41,7 +41,9 @@ class TextOpsSpec extends SparkSpec {
     val n = r.count()
     assert(r.select("doc_id").distinct().count() == n)
     val ranks = r.select("rank").as[Long].collect().sorted
-    assert(ranks.head == 1 && ranks.last == n)
+    // full-sequence check: endpoints alone would accept duplicate
+    // middle ranks (e.g. a row_number -> rank() regression on ties)
+    assert(ranks.toSeq == (1L to n))
   }
 
   test("pivot zero-fill activates when a pivot value is absent for a key") {
