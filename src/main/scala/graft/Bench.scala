@@ -44,6 +44,32 @@ object Bench {
         val ev = Tables.events(spark, sfDir)
         ev.select(sum(hash(ev.columns.toIndexedSeq.map(col): _*))).collect()
       }
+      // Warm every native Catalyst kernel at invocation volume: the
+      // first measured query touching one otherwise absorbs its
+      // codegen compile AND the C2 JIT of the Java kernel over the
+      // full corpus (BENCH_r02: q09 19.3 s vs q10 0.46 s on the same
+      // pipeline). Synthetic rows, but real invocation counts — C2
+      // compiles on call-count, not data provenance.
+      warm {
+        graft.functions.Functions.register(spark)
+        spark.range(300000).selectExpr(
+            "concat('zmluva o dielo cislo ', id, ' praca dodavka material cena spolu s dph ', id % 97) AS text")
+          .selectExpr(
+            "sum(count_occurrences(text, 'dielo')) AS a",
+            "sum(hash(minhash_sig(text))) AS b",
+            "sum(size(bigram_set(text))) AS c")
+          .collect()
+      }
+      warm {
+        spark.range(100000).selectExpr(
+            "transform(sequence(0, 31), i -> cast(pmod(id + i, 17) AS float)) AS v")
+          .selectExpr("sum(vec_dot(v, v)) AS d").collect()
+      }
+      warm {
+        spark.range(50000).selectExpr(
+            "concat('[''p-', id, '.pdf'', ''x-', id % 7, '.pdf'']') AS cell")
+          .selectExpr("sum(size(legacy_attachments(cell))) AS e").collect()
+      }
     }
     // deterministic name order — run-to-run comparability of per-query
     // numbers (Map iteration order is arbitrary)

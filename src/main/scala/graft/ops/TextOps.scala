@@ -159,29 +159,52 @@ object TextOps {
       |       substr(text, strpos(text, 'order'), 120) AS snippet
       |FROM documents WHERE strpos(text, 'order') > 0""".stripMargin
 
+  /** Full natural-sort key (O3, 04_convert_contracts_to_text.py:51-54):
+    * the reference's `[int(c) if c.isdigit() else c.lower() for c in
+    * re.split('([0-9]+)', key)]` list compare, re-expressed as an
+    * orderable `array<struct<s:string,n:bigint>>`. Each maximal run
+    * becomes one element: a digit run → `('', int)`, a text run →
+    * `(run, -1)`. Because maximal runs strictly alternate, the first
+    * differing index always holds same-typed runs on both sides, so
+    * the struct compare (s asc, then n asc; -1 < any digit value)
+    * reproduces Python's elementwise semantics including the
+    * shorter-list-is-prefix rule. `regexp_extract_all` keeps the key
+    * RE2-expressible for the DuckDB oracle (no lookarounds). Digit
+    * runs beyond bigint range would overflow; contract identifiers
+    * never approach 19 digits. */
+  def naturalKey(src: Column): Column =
+    expr(s"""transform(
+      regexp_extract_all(lower(${src.toString}), '[0-9]+|[^0-9]+', 0),
+      r -> IF(r RLIKE '^[0-9]+$$',
+              named_struct('s', '', 'n', CAST(r AS BIGINT)),
+              named_struct('s', r, 'n', CAST(-1 AS BIGINT))))""")
+
   /** q14 — natural (alphanumeric) sort (O3: digit-run aware filename
     * ordering, 04_convert_contracts_to_text.py:51-54): 'src2' sorts
-    * before 'src10'. */
+    * before 'src10', and multi-run names compare on EVERY run
+    * ('p2_x9' before 'p2_x10'). Equal keys ('A1' vs 'a01') tie-break
+    * on the raw name for run-to-run determinism. */
   def naturalSort(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val w = Window.orderBy($"src_num", $"source")
+    val w = Window.orderBy($"nat_key", $"source")
     Tables.documents(s, dir).select($"source").distinct()
-      .withColumn("src_num",
-        // try_cast: a name with no digit run extracts '' which must
-        // sort as null, not abort under ANSI
-        expr("try_cast(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)"))
+      .withColumn("nat_key", naturalKey($"source"))
       .withColumn("natural_rank", row_number().over(w).cast("long"))
+      .select($"source", $"natural_rank")
   }
 
-  // NULLS FIRST pins DuckDB to Spark's ASC default (nulls first) so a
-  // source with no digit run ranks identically in both engines.
+  // Same run-array key in DuckDB terms; list-of-struct compare is
+  // lexicographic in both engines. Arrays never appear in the OUTPUT
+  // (the driver's pandas row-sort can't hash them) — only in ORDER BY.
   val naturalSortSql: String =
-    """SELECT source, TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
-      |         AS src_num,
-      |       ROW_NUMBER() OVER (
-      |         ORDER BY TRY_CAST(regexp_extract(source, '([0-9]+)', 1) AS BIGINT)
-      |                    NULLS FIRST,
-      |                  source) AS natural_rank
+    """SELECT source,
+      |       ROW_NUMBER() OVER (ORDER BY
+      |         list_transform(
+      |           regexp_extract_all(lower(source), '[0-9]+|[^0-9]+'),
+      |           r -> CASE WHEN regexp_matches(r, '^[0-9]+$')
+      |                THEN {'s': '', 'n': CAST(r AS BIGINT)}
+      |                ELSE {'s': r, 'n': CAST(-1 AS BIGINT)} END),
+      |         source) AS natural_rank
       |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
 
   /** q26 — language identification by profile-token scoring (the

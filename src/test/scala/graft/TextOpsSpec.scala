@@ -16,6 +16,17 @@ class TextOpsSpec extends SparkSpec {
     assert(ranks("src9") < ranks("src11"))
   }
 
+  test("natural key compares EVERY digit run, matching the reference's " +
+    "re.split list key (04_convert_contracts_to_text.py:51-54)") {
+    val names = Seq("p2_x10", "p2_x9", "p10_x1", "doc10", "doc-2", "Doc3")
+    val sorted = names.toDF("source")
+      .orderBy(TextOps.naturalKey($"source"), $"source")
+      .as[String].collect().toSeq
+    // Python: key('doc-2')=['doc-',2,''] > key('doc10')=['doc',10,'']
+    // because 'doc' < 'doc-'; p2_x9 < p2_x10 needs the SECOND run.
+    assert(sorted == Seq("Doc3", "doc10", "doc-2", "p2_x9", "p2_x10", "p10_x1"))
+  }
+
   test("tokenizer drops empty tokens and non-letters") {
     val toks = Seq("a-b  c!! d").toDF("text")
       .select(explode(expr(
