@@ -72,6 +72,14 @@ object SparkEntry {
         None),
       ("q49_salted_agg", SkewOps.saltedAgg _, Some(SkewOps.saltedAggSql)),
       ("q50_salted_join", SkewOps.saltedJoin _, Some(SkewOps.saltedJoinSql)),
+      ("q51_ann_quantized", SimilarityOps.annQuantized _,
+        Some(SimilarityOps.annQuantizedSql)),
+      ("q52_simhash_pairs", DedupOps.simhashPairs _,
+        Some(DedupOps.simhashPairsSql)),
+      ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
+        Some(LayoutOps.prunedMonthlyOrderCountsSql)),
+      ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,
+        Some(LayoutOps.bucketedOrderPrioritySql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -266,7 +266,9 @@ object DedupOps {
     * md5-hex-digit-j "high" bits is non-negative), plus the bucket
     * size — hamming-0 near-dup grouping. One wordcount shuffle + one
     * 16-column conditional aggregation. */
-  def simhash(s: SparkSession, dir: String): DataFrame = {
+  /** (doc_id, simhash) signatures — shared by q22 (bucket sizes) and
+    * q52 (hamming≤k pair search). */
+  private def simhashSig(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val words = Tables.documents(s, dir)
       .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("word"))
@@ -281,8 +283,13 @@ object DedupOps {
     val simhashCol = (1 to simhashBits)
       .map(j => col(s"b$j") * (1L << (simhashBits - j)))
       .reduce(_ + _)
+    bits.withColumn("simhash", simhashCol).select($"doc_id", $"simhash")
+  }
+
+  def simhash(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
     val w = Window.partitionBy($"simhash")
-    bits.withColumn("simhash", simhashCol)
+    simhashSig(s, dir)
       .withColumn("bucket_size", count(lit(1)).over(w))
       .select($"doc_id", $"simhash", $"bucket_size")
   }
@@ -306,6 +313,76 @@ object DedupOps {
        |SELECT doc_id, CAST($shVal AS BIGINT) AS simhash,
        |       COUNT(*) OVER (PARTITION BY $shVal) AS bucket_size
        |FROM bits""".stripMargin
+  }
+
+  private val simhashBands = 4 // 4 bands × 4 bits over the 16-bit sig
+
+  /** q52 — SimHash hamming≤2 near-dup pairs, found WITHOUT an
+    * all-pairs scan: the 16-bit signature is banded into 4 chunks of
+    * 4 bits and candidates are generated by a per-band equi-join —
+    * the standard LSH pigeonhole: 2 differing bits can dirty at most
+    * 2 of 4 bands, so every hamming≤2 pair shares at least one intact
+    * band and is guaranteed to surface (exact recall, k < bands).
+    * Candidates are deduped, then filtered by the exact distance
+    * `bit_count(xor(sig_a, sig_b))`.
+    *
+    * Scale note: band selectivity tracks signature width. A 4-bit
+    * band has 16 values, fine at test scale but a 100 TB corpus needs
+    * a 64-bit signature with 4×16-bit bands (65 536 values each) so
+    * band buckets stay bounded — same plan, wider `simhashBits`. The
+    * md5-hex trick caps this build at 16 bits ⇒ documented limit. */
+  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhashSig(s, dir)
+    val bandStructs = (0 until simhashBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright($"simhash", i * 4).bitwiseAND(15).as("bval"))
+    }
+    val bands = sig.select($"doc_id", $"simhash",
+      explode(array(bandStructs: _*)).as("bv"))
+      .select($"doc_id", $"simhash", $"bv.band", $"bv.bval")
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"a.simhash".as("sh_a"),
+        $"b.doc_id".as("doc_b"), $"b.simhash".as("sh_b"))
+      .distinct() // a pair may share several intact bands
+      .withColumn("hamming",
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+  }
+
+  val simhashPairsSql: String = {
+    val bitDefs = (1 to simhashBits).map { j =>
+      s"""CASE WHEN SUM(CASE WHEN instr('89abcdef', substr(h, $j, 1)) > 0
+         |  THEN cnt ELSE -cnt END) >= 0 THEN 1 ELSE 0 END AS b$j"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    val shVal = (1 to simhashBits)
+      .map(j => s"b$j * ${1L << (simhashBits - j)}").mkString(" + ")
+    s"""WITH w AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY doc_id, word
+       |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w),
+       |bits AS (SELECT doc_id, $bitDefs FROM d GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($shVal AS BIGINT) AS simhash FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash, t.i AS band,
+       |         (simhash >> (t.i * 4)) & 15 AS bval
+       |  FROM sig, range(0, $simhashBands) t(i)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
+       |         b.doc_id AS doc_b, b.simhash AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
   }
 
   /** q23 — word-bigram Jaccard near-dup, blocked by (lang, source) —

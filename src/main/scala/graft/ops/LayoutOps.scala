@@ -30,6 +30,36 @@ object LayoutOps {
       .where(col("month").isin(months: _*))
       .groupBy(col("month")).agg(count(lit(1)).as("n"))
 
+  /** Months [[prunedMonthlyOrderCounts]] prunes to — fixed values
+    * present at every SF (orders span 1995-01..2001-08), so the DuckDB
+    * oracle can state the same predicate on the unpartitioned table. */
+  val PrunedMonths: Seq[String] = Seq("1996-03", "1996-04")
+
+  /** q36 — the date layout end-to-end as a driver-checkable query:
+    * write orders `month=`-partitioned, then scan with a month filter
+    * that planning-time partition pruning resolves to exactly two
+    * directories (PartitionFilters asserted in LayoutSpec). The oracle
+    * computes the same counts from the UNPARTITIONED table — proving
+    * the layout round-trip loses nothing. At 100 TB the pruned scan
+    * reads ~2/80ths of the table; the unpartitioned one reads it all. */
+  def prunedMonthlyOrderCounts(s: SparkSession, dir: String): DataFrame = {
+    val path = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath, "graft_orders_by_month").toString
+    writeDatePartitioned(
+      Tables.orders(s, dir).select(col("o_orderkey"), col("o_orderdate")),
+      "o_orderdate", path)
+    prunedMonthlyCounts(s, path, PrunedMonths)
+  }
+
+  val prunedMonthlyOrderCountsSql: String = {
+    val in = PrunedMonths.map(m => s"'$m'").mkString(", ")
+    s"""SELECT strftime(o_orderdate, '%Y-%m') AS month,
+       |       CAST(count(*) AS BIGINT) AS n
+       |FROM orders
+       |WHERE strftime(o_orderdate, '%Y-%m') IN ($in)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** Salted aggregation for skewed keys: two-phase groupBy — first on
     * (key, salt) to spread a hot key over `buckets` reducers, then on
     * key. AQE handles moderate skew automatically; this is the
@@ -76,6 +106,19 @@ object LayoutOps {
       .agg(count(lit(1)).as("n"),
         sum(col("l_quantity").cast("decimal(12,2)")).as("sum_qty"))
   }
+
+  /** q53 — [[bucketedJoin]] as a driver-checkable query (both scans
+    * shuffle-free; decimal-exact sum cast to DOUBLE only at the output
+    * edge so the hash compare sees one canonical rendering). */
+  def bucketedOrderPriority(s: SparkSession, dir: String): DataFrame =
+    bucketedJoin(s, dir, buckets = 8)
+      .withColumn("sum_qty", col("sum_qty").cast("double"))
+
+  val bucketedOrderPrioritySql: String =
+    """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin
 
   /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
     * notes as absent from the reference; a north-star extension):

@@ -96,6 +96,100 @@ object SimilarityOps {
         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p
         |) WHERE rn <= 3""".stripMargin
 
+  /** Number of coarse-quantizer centroids for [[annQuantized]]. */
+  val QuantizerK = 8
+
+  /** q51 — IVF with a REAL coarse quantizer (the piece q25 takes as a
+    * given label column). Centroid "training" is the deterministic
+    * seed-sample stage of kmeans||: the embeddings of the
+    * [[QuantizerK]] lowest vec_ids become the centroids. Lloyd
+    * refinement would just repeat the assignment step below with
+    * averaged centroids; it is deliberately omitted because the
+    * cross-engine float SUM it needs is summation-order-sensitive,
+    * which would break the exact DuckDB oracle this query earns by
+    * keeping every number a left-to-right fold.
+    *
+    * Scale shape (the 100 TB plan):
+    *  - the centroid matrix is collapsed to ONE row (a sorted
+    *    array<struct>) and broadcast — k×d floats, trivially small;
+    *  - bucket assignment is a per-row `aggregate` HOF argmax over
+    *    that array: map-side only, ZERO shuffle for the assignment of
+    *    n vectors (no n×k explode, no re-join of the assignment back
+    *    to the vectors);
+    *  - the only exchanges are the same-bucket pair join, i.e.
+    *    exactly q25's layout with bucket in place of label.
+    * Ties in the argmax keep the smallest centroid_id (strict `>` in
+    * the fold ≡ ROW_NUMBER ORDER BY sim DESC, centroid_id). */
+  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val e = withNorm(Tables.embeddings(s, dir))
+    // one-row frame holding the centroid array, sorted by centroid id
+    // (collect_list order is not deterministic; array_sort on the
+    // struct's leading field pins it)
+    val cents = e.where($"vec_id" < QuantizerK)
+      .select(struct($"vec_id".as("cid"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+    val assigned = e.join(broadcast(cents))
+      .withColumn("bucket", expr(
+        """aggregate(cents,
+          |  named_struct('bid', CAST(-1 AS BIGINT),
+          |               'bs', CAST('-Infinity' AS DOUBLE)),
+          |  (acc, c) -> IF(vec_dot(embedding, c.cemb) / (nrm * c.cnrm) > acc.bs,
+          |    named_struct('bid', c.cid,
+          |      'bs', vec_dot(embedding, c.cemb) / (nrm * c.cnrm)),
+          |    acc)).bid""".stripMargin))
+      .drop("cents")
+    val a = assigned.select($"vec_id", $"bucket",
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val b = assigned.select($"vec_id".as("neighbor_id"),
+      $"bucket".as("bb"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    a.join(b, $"vec_id" =!= $"neighbor_id" && $"bucket" === $"bb")
+      .withColumn("cos_sim", dotCol("ea", "eb") / ($"na" * $"nb"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 3)
+      .select($"vec_id", $"bucket", $"neighbor_id", $"rn", $"cos_sim")
+  }
+
+  val annQuantizedSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < $QuantizerK
+       |), asg AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_transform(list_zip(e.embedding, c.cemb),
+       |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |          (acc, x) -> acc + x) / (e.nrm * c.cnrm) DESC,
+       |        c.cid) AS r
+       |    FROM e CROSS JOIN c) WHERE r = 1
+       |), v AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, asg.bucket
+       |  FROM e JOIN asg USING (vec_id)
+       |)
+       |SELECT vec_id, bucket, neighbor_id, rn, cos_sim FROM (
+       |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |        (acc, x) -> acc + x) / (a.nrm * b.nrm) DESC,
+       |      b.vec_id) AS rn
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.bucket = b.bucket
+       |) WHERE rn <= 3""".stripMargin
+
   /** q35 — embedding-cosine near-duplicate pairs (the vector-space
     * member of the dedup family): same-bucket pairs above a cosine
     * threshold, each listed once (a < b). */

@@ -1,10 +1,54 @@
 package graft
 
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
 import graft.ops.{DedupOps, SimilarityOps}
 
 /** Dedup/similarity invariants at sf0.001. */
 class DedupSimilaritySpec extends SparkSpec {
   import spark.implicits._
+
+  test("simhash band-join pair search ≡ brute-force hamming<=2 " +
+      "(exact recall: 2 dirty bits can't cover 4 bands)") {
+    val sig = DedupOps.simhash(spark, sf0001)
+      .select($"doc_id", $"simhash").cache()
+    val a = sig.select($"doc_id".as("doc_a"), $"simhash".as("sh_a"))
+    val b = sig.select($"doc_id".as("doc_b"), $"simhash".as("sh_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+    val banded = DedupOps.simhashPairs(spark, sf0001)
+    assert(banded.count() > 0)
+    // set equality both ways — banding must neither invent nor drop pairs
+    assert(banded.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(banded).count() == 0)
+    sig.unpersist()
+  }
+
+  test("q51 buckets = independent argmax over seed centroids; " +
+      "neighbors stay in-bucket") {
+    val fold = "aggregate(zip_with(%s, %s, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+      "(acc, x) -> acc + x)"
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .withColumn("nrm", sqrt(expr(fold.format("embedding", "embedding"))))
+    val c = e.where($"vec_id" < SimilarityOps.QuantizerK)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val expected = e.crossJoin(broadcast(c))
+      .withColumn("sim",
+        expr(fold.format("embedding", "cemb")) / ($"nrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"vec_id", $"cid".as("expected_bucket"))
+    val got = SimilarityOps.annQuantized(spark, sf0001)
+      .select($"vec_id", $"bucket").distinct()
+    assert(got.count() > 0)
+    assert(got.join(expected, "vec_id")
+      .where($"bucket" =!= $"expected_bucket").count() == 0)
+  }
 
   test("exact dedup: canonical ids are fixpoints and group sizes >= 1") {
     val d = DedupOps.dedupExact(spark, sf0001)
