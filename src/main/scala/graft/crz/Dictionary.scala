@@ -59,6 +59,37 @@ object Dictionary {
   val numericTokenPattern = "^[0-9., €%-]+$"
   private val hasDigit = "[0-9]"
 
+  /** Parse the REP table of a hunspell `.aff` file (sk_SK.aff's 52
+    * rules) into (rep_from, rep_to) rows. The `REP <count>` header
+    * line has only two tokens and is excluded by the three-token
+    * pattern. */
+  def loadRepRules(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    s.read.text(path)
+      .where(col("value").rlike("^REP\\s+\\S+\\s+\\S+"))
+      .select(split(col("value"), "\\s+").as("p"))
+      .select(element_at(col("p"), 2).as("rep_from"),
+        element_at(col("p"), 3).as("rep_to"))
+
+  /** Hunspell-affix approximation (F22 delta-shrinker, SURVEY §7.4.1):
+    * expand the wordlist with every single-rule REP application
+    * before it is broadcast, so diacritic/inflection variants the
+    * `.aff` REP table anticipates ('dielo' + `REP o a` → 'diela')
+    * pass membership. This narrows, not closes, the gap to full affix
+    * morphology: REP is hunspell's substitution table, applied here to
+    * ALL occurrences per rule (one rule per variant, like hunspell's
+    * one-REP suggestion step). Dictionary-side-only work: wordlist ×
+    * rules happens once on the dim side, before broadcast — the corpus
+    * never pays for it. */
+  def expandWithRep(dictionary: DataFrame, repRules: DataFrame): DataFrame = {
+    val base = dictionary.select(lower(col("word")).as("word"))
+    val expanded = base
+      .crossJoin(broadcast(repRules))
+      .where(col("word").contains(col("rep_from")))
+      .select(replace(col("word"), col("rep_from"), col("rep_to")).as("word"))
+    base.union(expanded).distinct()
+  }
+
   /** F22 — spell(word): broadcast-set membership column (used by the
     * tables pipeline's dummy-column test P11). A word is known if it is
     * in the wordlist OR is a numeric/currency token. */

@@ -25,11 +25,31 @@ object Pipeline {
       keywordsTxt: String,
       corpusDir: String,
       dictionaryDic: String,
+      // optional hunspell .aff: its REP table expands the wordlist
+      // before broadcast (F22 affix approximation)
+      dictionaryAff: Option[String] = None,
       params: CleanFilter.Params = CleanFilter.Params(),
       // stage-05 OOV threshold; the reference keeps count > 5
       // (05_build_special_dictionary.py:141) — tests pass 0 for
       // fixture-scale corpora
-      dictMinCount: Long = 5L)
+      dictMinCount: Long = 5L,
+      // entry point 3 (06→07→09): present when extracted-table CSVs
+      // (camelot's 06 output shape) exist for this corpus
+      tables: Option[TablesConfig] = None)
+
+  /** Extracted-table inputs: (csvPath, contractId, tableNo) triples —
+    * the files stage 06 wrote — plus the keyword sets 07/09 use. */
+  final case class TablesConfig(
+      tables: Seq[(String, String, Int)],
+      keywords: TablesPipeline.Keywords)
+
+  /** Stage 07/09 outputs (only when [[Config.tables]] is set). */
+  final case class TableOutputs(
+      relevantTables: DataFrame,     // P9/A3 relevance filter (07)
+      columnStats: DataFrame,        // A6 one-pass per-column stats (09)
+      tableGate: DataFrame,          // H1/H3/P13/P14 price-table gate (09)
+      cleanedCells: DataFrame,       // P10/P11 cleaned cells (09)
+      suggestedKeywords: DataFrame)  // A5 suggested keywords (09)
 
   /** Every stage output of one pipeline run. */
   final case class Outputs(
@@ -40,7 +60,8 @@ object Pipeline {
       tagged: DataFrame,           // long-form keyword hits (04_tag)
       ranked: DataFrame,           // ranked relevant contracts (04_tag)
       subjects: DataFrame,         // per-contract subject (08)
-      minedWords: DataFrame)       // OOV dictionary (05_build)
+      minedWords: DataFrame,       // OOV dictionary (05_build)
+      tables: Option[TableOutputs]) // 07/09 bundle (when configured)
 
   /** keywords.txt (first CSV token = category) through the Spark text
     * reader — works on any Hadoop-compatible path, no driver-side file
@@ -87,9 +108,33 @@ object Pipeline {
     val ranked = Tagging.rankedFromTagged(tagged, corpus, clean)
     // stage 08 — subjects; stage 05_build — dictionary mining
     val subjects = Subject.extract(corpus)
-    val dic = Dictionary.loadDic(s, cfg.dictionaryDic)
+    val dicBase = Dictionary.loadDic(s, cfg.dictionaryDic)
+    val dic = cfg.dictionaryAff
+      .map(a => Dictionary.expandWithRep(dicBase, Dictionary.loadRepRules(s, a)))
+      .getOrElse(dicBase)
     val minedWords = Dictionary.mineSpecialWords(corpus, dic, cfg.dictMinCount)
+    // entry point 3 — 06→07→09 when extracted-table fixtures exist
+    val tables = cfg.tables.map { tc =>
+      val cells = tc.tables.map { case (path, cid, n) =>
+        TablesPipeline.readTableCsv(s, path, cid, n)
+      }.reduce(_ unionByName _).cache()
+      // spell dictionary = wordlist ∪ taxonomy words (09:86-93 loads
+      // both hunspell and the keyword file)
+      val spellDict = dic.union(keywords
+        .select(explode(split(lower(col("keyword")), " ")).as("word")))
+      val dataCells = cells.where(col("row_idx") > 0)
+      val stats = TablesPipeline.columnStats(dataCells, spellDict, tc.keywords)
+      val hdr = TablesPipeline.tableHeader(cells, tc.keywords)
+      val gate = TablesPipeline.tableGate(stats, hdr, cells, tc.keywords)
+      TableOutputs(
+        relevantTables = TablesPipeline.relevantTables(cells, keywords),
+        columnStats = stats,
+        tableGate = gate,
+        cleanedCells = TablesPipeline.cleanedCells(dataCells, stats, gate),
+        suggestedKeywords =
+          TablesPipeline.suggestedKeywords(dataCells, stats, gate, keywords))
+    }
     Outputs(contracts, quarantined, clean, audit, tagged, ranked,
-      subjects, minedWords)
+      subjects, minedWords, tables)
   }
 }

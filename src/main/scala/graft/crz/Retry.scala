@@ -1,0 +1,49 @@
+package graft.crz
+
+/** The S15 HTTP retry/backoff envelope
+  * (03_download_contracts.py:114-153, applied at every fetch site as
+  * `@retry(ConnectionError, tries=6, delay=3, backoff=2)`): a pure,
+  * testable attempt schedule plus a generic retry wrapper for the
+  * `foreachPartition` fetch seam (ops/Relational.scala S15 shell).
+  *
+  * Semantics match the reference decorator exactly: `tries` total
+  * attempts; after each of the first `tries - 1` failures sleep the
+  * current delay, then double it (`backoff`); the LAST attempt is
+  * unguarded — its exception propagates. Retries happen per record
+  * inside the executor task, never via Spark task re-execution (a
+  * stage retry would refetch the whole partition — the reference
+  * retries one URL).
+  */
+object Retry {
+
+  /** tries=6, delay=3 s, backoff=2 — the reference's constants. */
+  final case class Policy(tries: Int = 6, initialDelayMs: Long = 3000L,
+      backoff: Double = 2.0) {
+    require(tries >= 1, "tries must be >= 1")
+  }
+
+  /** Sleeps between attempts: `tries - 1` entries, exponentially
+    * growing — Policy() yields [3000, 6000, 12000, 24000, 48000]. */
+  def schedule(p: Policy): Seq[Long] =
+    (0 until p.tries - 1).map(i =>
+      (p.initialDelayMs * math.pow(p.backoff, i.toDouble)).toLong)
+
+  /** Run `body` under the policy. `retryOn` mirrors the decorator's
+    * ExceptionToCheck: anything else propagates immediately. `sleep`
+    * is injectable so specs assert the schedule without waiting. */
+  def retry[T](p: Policy = Policy(),
+      retryOn: Throwable => Boolean = _.isInstanceOf[java.io.IOException],
+      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
+    val delays = schedule(p)
+    var attempt = 0
+    while (attempt < p.tries - 1) {
+      try return body
+      catch {
+        case e: Throwable if retryOn(e) =>
+          sleep(delays(attempt))
+          attempt += 1
+      }
+    }
+    body // last attempt: unguarded, like the reference's final call
+  }
+}

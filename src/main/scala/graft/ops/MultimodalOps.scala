@@ -63,15 +63,40 @@ object MultimodalOps {
   /** q33 — multimodal feature extraction: documents→binary payloads →
     * per-partition decode → typed feature rows. Not SQL-expressible
     * (the decode is executor code), so the driver records the weaker
-    * rows-only check for it. */
+    * rows-only check for it.
+    *
+    * Feature flag `spark.graft.media.cmd` (argv, whitespace-split;
+    * optional `spark.graft.media.timeoutMs`, default 10 000 — the
+    * reference's camelot guard, 06_extract_tables.py:197-205): when
+    * set, each document is piped through that external CLI via
+    * [[ExternalTool]] with per-partition process reuse, and the
+    * features are computed over the TOOL'S output bytes — the real
+    * pdftotext/tesseract shape (04_convert_contracts_to_text.py:
+    * 265-392). A timed-out/crashed record is quarantined (media_type
+    * suffixed `!quarantine`, empty payload) instead of failing the
+    * task, mirroring the reference's failure counters (04:334-340).
+    * Unset (the default, and what the driver measures): the in-JVM
+    * [[decodeStub]] stands in for the codec. */
   def mediaFeatures(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val media: Dataset[MediaRecord] = Tables.documents(s, dir)
-      .select($"doc_id", $"text")
-      .as[(Long, String)]
-      .map { case (id, text) =>
-        MediaRecord(id, if (id % 2 == 0) "image" else "audio",
-          text.getBytes("UTF-8"))
+    val docs = Tables.documents(s, dir)
+      .select($"doc_id", $"text").as[(Long, String)]
+    val cmd = s.conf.get("spark.graft.media.cmd", "")
+    val media: Dataset[MediaRecord] =
+      if (cmd.isEmpty) {
+        docs.map { case (id, text) =>
+          MediaRecord(id, if (id % 2 == 0) "image" else "audio",
+            text.getBytes("UTF-8"))
+        }
+      } else {
+        val conf = ExternalTool.ToolConf(
+          command = cmd.split("\\s+").toIndexedSeq,
+          timeoutMs = s.conf.get("spark.graft.media.timeoutMs", "10000").toLong)
+        ExternalTool.pipe(docs, conf).map { r =>
+          val kind = if (r.id % 2 == 0) "image" else "audio"
+          if (r.ok) MediaRecord(r.id, kind, r.out.getBytes("UTF-8"))
+          else MediaRecord(r.id, kind + "!quarantine", Array.emptyByteArray)
+        }
       }
     media
       .mapPartitions { it =>

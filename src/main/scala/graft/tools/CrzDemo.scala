@@ -26,7 +26,11 @@ object CrzDemo {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    // entry points 1+2 — the one-call facade over the stage graph
+    // all three entry points — the one-call facade over the stage graph
+    val kws = TablesPipeline.Keywords(
+      position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
+      header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
+      priceHeader = Seq("Cena", "DPH", "€"))
     val run = Pipeline.run(spark, Pipeline.Config(
       xmlDir = s"$fx/xml",
       legacyCsv = Some(s"$fx/CRZ_DB_with_supplements.csv"),
@@ -36,7 +40,11 @@ object CrzDemo {
       corpusDir = s"$fx/contracts_text",
       dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
       params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")),
-      dictMinCount = 0L)) // fixture corpus: every OOV word is rare
+      dictMinCount = 0L, // fixture corpus: every OOV word is rare
+      tables = Some(Pipeline.TablesConfig(
+        tables = Seq(1, 2, 3).map(n =>
+          (s"$fx/tables/100001/table_zmluva_100001_$n.csv", "100001", n)),
+        keywords = kws))))
     val typedXml = Sources.typedContracts(
       Sources.readContractsXml(spark, s"$fx/xml")._1)
     println(s"[xml] contracts=${run.contracts.count()} " +
@@ -53,32 +61,14 @@ object CrzDemo {
     run.subjects.show(3, truncate = 40)
     Sources.writeDictionary(run.minedWords, "word", "n", s"$out/special_dict")
     println(s"[dict] mined=${run.minedWords.count()} -> $out/special_dict")
-    val corpus = Sources.readTextCorpus(spark, s"$fx/contracts_text")
-    val keywords = Pipeline.loadKeywords(spark, s"$fx/keywords.txt")
-
-    // entry point 3: tables
-    val cells = Seq(1, 2, 3).map { n =>
-      TablesPipeline.readTableCsv(spark,
-        s"$fx/tables/100001/table_zmluva_100001_$n.csv", "100001", n)
-    }.reduce(_ union _).cache()
-    val kws = TablesPipeline.Keywords(
-      position = Seq("konzultant", "analytik", "vývojár", "architekt", "tester"),
-      header = Seq("pozícia", "sadzba", "cena", "počet", "jednotka"),
-      priceHeader = Seq("Cena", "DPH", "€"))
-    val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
-    val spellDict = dic.union(
-      keywords.select(explode(split(lower($"keyword"), " ")).as("word")))
-    val dataCells = cells.where($"row_idx" > 0)
-    val stats = TablesPipeline.columnStats(dataCells, spellDict, kws)
-    val hdr = TablesPipeline.tableHeader(cells, kws)
-    val gate = TablesPipeline.tableGate(stats, hdr, cells, kws)
-    val cleaned = TablesPipeline.cleanedCells(dataCells, stats, gate)
-    val sugg = TablesPipeline.suggestedKeywords(dataCells, stats, gate, keywords)
-    Sources.writeSuggestedKeywords(sugg, "word", "weight",
+    // entry point 3 came back in the same bundle (07/09 outputs)
+    val t = run.tables.get
+    Sources.writeSuggestedKeywords(t.suggestedKeywords, "word", "weight",
       s"$out/suggested_keywords")
-    println(s"[tables] cleaned_cells=${cleaned.count()} " +
-      s"price_tables=${gate.where($"price_table").count()} " +
-      s"suggested=${sugg.count()} -> $out/suggested_keywords")
+    println(s"[tables] relevant=${t.relevantTables.count()} " +
+      s"cleaned_cells=${t.cleanedCells.count()} " +
+      s"price_tables=${t.tableGate.where($"price_table").count()} " +
+      s"suggested=${t.suggestedKeywords.count()} -> $out/suggested_keywords")
 
     val suppAtts = typedXml
       .select(explode($"dodatky").as("d"))

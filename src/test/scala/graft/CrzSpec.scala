@@ -228,7 +228,11 @@ class CrzSpec extends SparkSpec {
       corpusDir = s"$fx/contracts_text",
       dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
       params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")),
-      dictMinCount = 0L)) // fixture corpus: every OOV word is rare
+      dictMinCount = 0L, // fixture corpus: every OOV word is rare
+      tables = Some(Pipeline.TablesConfig(
+        tables = Seq(1, 2, 3).map(n =>
+          (s"$fx/tables/100001/table_zmluva_100001_$n.csv", "100001", n)),
+        keywords = tableKws))))
     assert(out.contracts.count() == 12)   // 2 XML + 10 legacy rows
     assert(out.quarantined.count() == 1)
     // 100001 appears in both sources => one extra 'duplicate' vs the
@@ -240,6 +244,17 @@ class CrzSpec extends SparkSpec {
     assert(out.ranked.count() >= 1)
     assert(out.subjects.count() == 4)
     assert(out.minedWords.count() > 0)
+    // 07→09 rode along in the same run: the facade's table outputs
+    // agree with the directly-wired stage results asserted below
+    val t = out.tables.get
+    assert(t.tableGate.collect().map(r =>
+      r.getAs[Int]("table_no") -> r.getAs[Boolean]("price_table")).toMap
+      == Map(1 -> true, 2 -> true, 3 -> false))
+    assert(t.cleanedCells.where($"table_no" === 3).count() == 0)
+    assert(t.relevantTables.select("table_no").as[Int].collect()
+      .toSet.contains(1))
+    assert(t.suggestedKeywords.count() > 0)
+    assert(t.columnStats.where($"empty_col" || $"dummy_col").count() > 0)
   }
 
   test("pipe-CSV sink/scan round-trip preserves rows (S5/S6)") {
@@ -345,5 +360,49 @@ class CrzSpec extends SparkSpec {
       .select("table_no").as[Int].collect().toSet
     assert(rel.contains(1))
     assert(!rel.contains(3))
+  }
+
+  test("F22 REP expansion: the .aff substitution table accepts an " +
+      "inflected form the bare wordlist rejects") {
+    val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
+    val rep = Dictionary.loadRepRules(spark, s"$fx/dictionary/sk_fixture.aff")
+    // the 'REP 4' count header must not parse as a rule
+    assert(rep.count() == 4)
+    // 'nájomná' = diacritic form of wordlist entry 'najomna'; REP
+    // 'a á' covers it (applied to BOTH a's — all-occurrence rule)
+    val words = Seq("nájomná").toDF("word")
+    assert(!Dictionary.spellOk(words, dic)
+      .select("known").as[Boolean].head())
+    assert(Dictionary.spellOk(words, Dictionary.expandWithRep(dic, rep))
+      .select("known").as[Boolean].head())
+  }
+
+  test("S15 retry envelope: reference schedule (6 tries, 3s, 2x), " +
+      "recovery, exhaustion, non-retryable passthrough") {
+    assert(Retry.schedule(Retry.Policy())
+      == Seq(3000L, 6000L, 12000L, 24000L, 48000L))
+    val sleeps = scala.collection.mutable.ArrayBuffer[Long]()
+    var calls = 0
+    val out = Retry.retry(sleep = sleeps.append(_)) {
+      calls += 1
+      if (calls < 3) throw new java.io.IOException("flaky")
+      "ok"
+    }
+    assert(out == "ok" && calls == 3 && sleeps.toSeq == Seq(3000L, 6000L))
+    calls = 0; sleeps.clear()
+    intercept[java.io.IOException] {
+      Retry.retry(sleep = sleeps.append(_)) {
+        calls += 1; throw new java.io.IOException("down")
+      }
+    }
+    // 6 total attempts (tries), 5 sleeps — the last attempt is bare
+    assert(calls == 6 && sleeps.size == 5)
+    calls = 0
+    intercept[IllegalStateException] {
+      Retry.retry(sleep = _ => ()) {
+        calls += 1; throw new IllegalStateException("bug")
+      }
+    }
+    assert(calls == 1) // not in retryOn => no retries
   }
 }

@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{ExternalTool, MultimodalOps}
+import graft.ops.ExternalTool.ToolConf
+
+/** External-CLI adapter (S9/S11 seam): process reuse, timeout-kill,
+  * per-record mode, and the q33 feature-flag wiring — all against the
+  * stub scripts in fixtures/tools/ (the container ships no real
+  * codecs; the adapter mechanics are what's under test). */
+class ExternalToolSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val tools =
+    new java.io.File("fixtures/tools").getAbsolutePath
+
+  test("worker mode reuses ONE process per partition and transforms " +
+      "every line") {
+    val ds = spark.createDataset((1L to 12L).map(i => (i, s"rec$i")))
+      .repartition(2)
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/upper_worker.sh")))
+      .cache()
+    assert(res.count() == 12)
+    assert(res.where(!$"ok").count() == 0)
+    // the worker echoes "<its pid> <UPPERCASED>": the payload-embedded
+    // pid must equal the reported worker_pid (we really read THAT
+    // process's answer), and distinct pids ≤ partitions ≪ records
+    res.collect().foreach { r =>
+      assert(r.out == s"${r.worker_pid} REC${r.id}")
+    }
+    assert(res.select("worker_pid").distinct().count() <= 2)
+    res.unpersist()
+  }
+
+  test("a poisoned record is timeout-killed; the NEXT record gets a " +
+      "fresh worker and still succeeds") {
+    val ds = Seq((1L, "alpha"), (2L, "SLEEP"), (3L, "beta")).toDS()
+      .coalesce(1).sortWithinPartitions("_1")
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/sleepy_worker.sh"),
+        timeoutMs = 500L))
+      .collect().sortBy(_.id)
+    assert(res(0).ok && res(0).out == "ok:alpha")
+    assert(res(1).timed_out && !res(1).ok)
+    assert(res(2).ok && res(2).out == "ok:beta")
+    // the stalled worker was killed — record 3 ran in a NEW process
+    assert(res(2).worker_pid != res(0).worker_pid)
+  }
+
+  test("per-record mode: one process per record, timeout quarantines " +
+      "only the slow one") {
+    val ds = Seq((1L, "abc"), (2L, "SLEEP please"), (3L, "xyz")).toDS()
+      .coalesce(1).sortWithinPartitions("_1")
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/once_upper.sh"),
+        timeoutMs = 500L, reuseProcess = false))
+      .collect().sortBy(_.id)
+    assert(res(0).ok && res(0).out == "ABC")
+    assert(res(1).timed_out && !res(1).ok)
+    assert(res(2).ok && res(2).out == "XYZ")
+    assert(res.map(_.worker_pid).distinct.length == 3)
+  }
+
+  test("q33 feature flag routes decode through the external tool") {
+    spark.conf.set("spark.graft.media.cmd",
+      s"/bin/sh $tools/sleepy_worker.sh")
+    try {
+      val feats = MultimodalOps.mediaFeatures(spark, sf0001)
+      val docs = Tables.documents(spark, sf0001)
+        .select($"doc_id", length($"text").cast("long").as("orig_len"))
+      val joined = feats.join(docs, "doc_id").cache()
+      assert(joined.count() == docs.count())
+      // no corpus text contains "SLEEP" — nothing quarantined
+      assert(joined.where($"media_type".endsWith("!quarantine")).count() == 0)
+      // features were computed over the TOOL's output ("ok:" + text),
+      // not the raw payload: every n_bytes is exactly 3 longer
+      assert(joined.where($"n_bytes" =!= $"orig_len" + 3L).count() == 0)
+      joined.unpersist()
+    } finally spark.conf.unset("spark.graft.media.cmd")
+  }
+}
