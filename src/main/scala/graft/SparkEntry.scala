@@ -76,6 +76,8 @@ object SparkEntry {
         Some(SimilarityOps.annQuantizedSql)),
       ("q52_simhash_pairs", DedupOps.simhashPairs _,
         Some(DedupOps.simhashPairsSql)),
+      ("q54_simhash64_pairs", DedupOps.simhash64Pairs _,
+        Some(DedupOps.simhash64PairsSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

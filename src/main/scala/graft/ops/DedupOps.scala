@@ -346,11 +346,14 @@ object DedupOps {
         $"a.doc_id" < $"b.doc_id")
       .select($"a.doc_id".as("doc_a"), $"a.simhash".as("sh_a"),
         $"b.doc_id".as("doc_b"), $"b.simhash".as("sh_b"))
-      .distinct() // a pair may share several intact bands
+      // exact-distance filter BEFORE the dedup: bit_count is a cheap
+      // codegen'd row op, while distinct() is a shuffle — far pairs
+      // (the bulk of candidates) must not ride through the exchange
       .withColumn("hamming",
         expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
       .where($"hamming" <= 2)
       .select($"doc_a", $"doc_b", $"hamming")
+      .distinct() // a pair may share several intact bands
   }
 
   val simhashPairsSql: String = {
@@ -381,6 +384,106 @@ object DedupOps {
        |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
        |)
        |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+  }
+
+  private val simhash64Bits = 60     // 15 md5 hex digits × 4 bits —
+  private val simhash64Digits = 15   // stays in positive BIGINT range
+  private val simhash64BandBits = 15 // 4 bands × 15 bits (32 768 values)
+
+  /** (doc_id, simhash64) — the WIDE signature [[simhashPairs]]'s
+    * scaladoc promises for corpus scale: 60 bits derived from the
+    * first 15 md5 hex digits (each digit contributes its 4 bits via
+    * the count-weighted sum, same construction as the 16-bit
+    * signature's high-bit rule, generalized to every bit). */
+  private[graft] def simhash64Sig(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val words = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", md5($"word"))
+    // per-word hex-digit values once (narrow), then one 60-sum agg pass
+    val withVals = words.select(($"doc_id" +: $"cnt" +:
+      (1 to simhash64Digits).map(d =>
+        expr(s"instr('0123456789abcdef', substring(h, $d, 1)) - 1")
+          .as(s"v$d"))): _*)
+    val bitCols: Seq[Column] = (0 until simhash64Bits).map { j =>
+      val d = j / 4 + 1; val k = j % 4
+      when(sum(when(expr(s"(v$d >> $k) & 1") === 1, $"cnt")
+        .otherwise(-$"cnt")) >= 0, 1L).otherwise(0L).as(s"b$j")
+    }
+    val bits = withVals.groupBy($"doc_id").agg(bitCols.head, bitCols.tail: _*)
+    val sigCol = (0 until simhash64Bits)
+      .map(j => col(s"b$j") * (1L << (simhash64Bits - 1 - j)))
+      .reduce(_ + _)
+    bits.select($"doc_id", sigCol.as("simhash64"))
+  }
+
+  /** q54 — [[simhashPairs]] at the signature width a 100 TB corpus
+    * needs: 60-bit signature, 4 bands × 15 bits ⇒ 32 768 values per
+    * band, so band buckets stay tiny and the candidate join never
+    * degenerates into the near-all-pairs behavior the 16-bit q52
+    * exhibits on a clustered corpus (1.5 M pairs at sf0.1). Same
+    * pigeonhole exactness: ≤ 2 dirty bits cannot cover 4 bands. */
+  def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sig = simhash64Sig(s, dir)
+    val bandStructs = (0 until simhashBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright($"simhash64", i * simhash64BandBits)
+          .bitwiseAND((1 << simhash64BandBits) - 1).as("bval"))
+    }
+    val bands = sig.select($"doc_id", $"simhash64",
+      explode(array(bandStructs: _*)).as("bv"))
+      .select($"doc_id", $"simhash64", $"bv.band", $"bv.bval")
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
+        $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"a.simhash64".as("sh_a"),
+        $"b.doc_id".as("doc_b"), $"b.simhash64".as("sh_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+      .distinct()
+  }
+
+  val simhash64PairsSql: String = {
+    val vDefs = (1 to simhash64Digits).map(d =>
+      s"strpos('0123456789abcdef', substr(h, $d, 1)) - 1 AS v$d")
+      .mkString(", ")
+    val bitDefs = (0 until simhash64Bits).map { j =>
+      val d = j / 4 + 1; val k = j % 4
+      s"""CASE WHEN SUM(CASE WHEN (v$d >> $k) & 1 = 1
+         |  THEN cnt ELSE -cnt END) >= 0 THEN 1 ELSE 0 END AS b$j"""
+        .stripMargin.replaceAll("\n", " ")
+    }.mkString(", ")
+    val sigVal = (0 until simhash64Bits)
+      .map(j => s"b$j * ${1L << (simhash64Bits - 1 - j)}").mkString(" + ")
+    val mask = (1 << simhash64BandBits) - 1
+    s"""WITH w AS (
+       |  SELECT doc_id, word, count(*) AS cnt
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+       |        FROM documents)
+       |  WHERE word <> '' GROUP BY doc_id, word
+       |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w),
+       |v AS (SELECT doc_id, cnt, $vDefs FROM d),
+       |bits AS (SELECT doc_id, $bitDefs FROM v GROUP BY doc_id),
+       |sig AS (SELECT doc_id, CAST($sigVal AS BIGINT) AS simhash64 FROM bits),
+       |bands AS (
+       |  SELECT doc_id, simhash64, t.i AS band,
+       |         (simhash64 >> (t.i * $simhash64BandBits)) & $mask AS bval
+       |  FROM sig, range(0, $simhashBands) t(i)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash64 AS sh_a,
+       |         b.doc_id AS doc_b, b.simhash64 AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)
+       |SELECT DISTINCT doc_a, doc_b,
        |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
        |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
   }

@@ -91,11 +91,15 @@ object LayoutOps {
       val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
       if (fs.exists(loc)) fs.delete(loc, true)
     }
+    // layout cost is proportional to what you bucket: project to the
+    // join/agg columns before the one-time bucketed write
     Tables.lineitem(s, dir)
+      .select(col("l_orderkey"), col("l_quantity"))
       .write.mode("overwrite")
       .bucketBy(buckets, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable("graft_li_bucketed")
     Tables.orders(s, dir)
+      .select(col("o_orderkey"), col("o_orderpriority"))
       .write.mode("overwrite")
       .bucketBy(buckets, "o_orderkey").sortBy("o_orderkey")
       .saveAsTable("graft_o_bucketed")

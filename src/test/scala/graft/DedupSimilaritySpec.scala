@@ -27,6 +27,25 @@ class DedupSimilaritySpec extends SparkSpec {
     sig.unpersist()
   }
 
+  test("simhash64 band-join ≡ brute-force hamming<=2, and the wide " +
+      "signature collapses the candidate space vs 16-bit") {
+    val sig = DedupOps.simhash64Sig(spark, sf0001)
+      .select($"doc_id", $"simhash64").cache()
+    val a = sig.select($"doc_id".as("doc_a"), $"simhash64".as("sh_a"))
+    val b = sig.select($"doc_id".as("doc_b"), $"simhash64".as("sh_b"))
+    val brute = a.join(b, $"doc_a" < $"doc_b")
+      .withColumn("hamming", expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where($"hamming" <= 2)
+      .select($"doc_a", $"doc_b", $"hamming")
+    val banded = DedupOps.simhash64Pairs(spark, sf0001)
+    assert(banded.exceptAll(brute).count() == 0)
+    assert(brute.exceptAll(banded).count() == 0)
+    // the scale property the width buys: far fewer near-pairs than the
+    // 16-bit signature admits on the same corpus
+    assert(banded.count() < DedupOps.simhashPairs(spark, sf0001).count())
+    sig.unpersist()
+  }
+
   test("q51 buckets = independent argmax over seed centroids; " +
       "neighbors stay in-bucket") {
     val fold = "aggregate(zip_with(%s, %s, (x, y) -> " +
