@@ -89,6 +89,35 @@ object StreamOps {
       |       CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
       |FROM events GROUP BY 1, 2, 3""".stripMargin
 
+  /** [[streamEventWindows]]'s cluster-parity form: the same windowed
+    * aggregate written to a parquet FILE sink in append mode under a
+    * watermark — no driver-side memory sink; results land as files,
+    * which is how a real deployment runs this continuously (output
+    * scales with the file system, not driver memory). Append mode
+    * emits a window only once the watermark passes its end, so the
+    * in-flight final window(s) stay in state — exactly continuous
+    * semantics; StreamingSpec asserts file rows ≡ the batch aggregate
+    * restricted to watermark-finalized windows. */
+  def streamEventWindowsToFiles(s: SparkSession, dir: String,
+      outDir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+      .select($"window.start".as("ws"), $"window.end".as("we"),
+        $"event_type", $"n", $"sum_value")
+    val q = agg.writeStream
+      .outputMode("append")
+      .format("parquet")
+      .option("path", s"$outDir/data")
+      .option("checkpointLocation", s"$outDir/chk")
+      .start()
+    try q.processAllAvailable() finally q.stop()
+    s.read.parquet(s"$outDir/data")
+  }
+
   /** Per-user running state for [[statefulUserCounts]]. */
   final case class UserState(n: Long, total: Double)
   final case class UserCount(user_id: Long, n_events: Long,

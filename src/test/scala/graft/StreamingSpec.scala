@@ -19,6 +19,24 @@ class StreamingSpec extends SparkSpec {
     assert(batch.except(stream).count() == 0)
   }
 
+  test("file-sink window agg (append mode) equals batch aggregation " +
+      "over watermark-finalized windows") {
+    val out = java.nio.file.Files.createTempDirectory("graft_fsink").toString
+    val fromFiles = StreamOps.streamEventWindowsToFiles(spark, sf0001, out)
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    // append emits exactly the windows whose end the watermark (max
+    // event time, 0s delay) passed; the in-flight window stays open
+    val maxTs = Tables.events(spark, sf0001)
+      .agg(org.apache.spark.sql.functions.max($"ts")).head().getTimestamp(0)
+    val batch = StatsOps.eventWindows(spark, sf0001)
+      .where(org.apache.spark.sql.functions
+        .expr("ws + INTERVAL 1 HOUR") <= maxTs) // window end
+      .select($"ws", $"event_type", $"n", $"sum_value")
+    assert(fromFiles.count() == batch.count() && fromFiles.count() > 0)
+    assert(fromFiles.except(batch).count() == 0)
+    assert(batch.except(fromFiles).count() == 0)
+  }
+
   test("streaming source handles TIMESTAMP(MICROS) events like batch " +
       "(the testdata's nanos-long shape never exercises this branch)") {
     import java.nio.file.{Files, Paths}
