@@ -55,4 +55,38 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastNestedLoopJoin"))
     assert(plan.contains("LeftSemi"))
   }
+
+  test("q51: centroid assignment is broadcast-only — no exchange " +
+      "before the bucket pair join") {
+    val plan = formatted(SimilarityOps.annQuantized(spark, sf0001))
+    // the one-row centroid array arrives via broadcast, never shuffle
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"))
+    assert(!plan.contains("CartesianProduct"))
+    // the HOF argmax must appear as a projection (map-side), not an
+    // aggregate: no n x k explode-and-regroup
+    assert(plan.contains("aggregate("))
+  }
+
+  test("q52/q54: band candidates come from an equi-join (hash/merge), " +
+      "never a nested-loop pair scan") {
+    for (q <- Seq(graft.ops.DedupOps.simhashPairs(spark, sf0001),
+        graft.ops.DedupOps.simhash64Pairs(spark, sf0001))) {
+      val plan = formatted(q)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin") ||
+        plan.contains("BroadcastHashJoin"))
+      assert(!plan.contains("BroadcastNestedLoopJoin"))
+      assert(!plan.contains("CartesianProduct"))
+    }
+  }
+
+  test("q36: the registered pruned-counts query plans PartitionFilters " +
+      "on month, reading 2 of the written partitions") {
+    val q = graft.ops.LayoutOps.prunedMonthlyOrderCounts(spark, sf0001)
+    val plan = formatted(q)
+    assert(plan.contains("PartitionFilters: [month"))
+    // planning-time pruning, not a post-scan filter on the partition col
+    assert(plan.contains("month#") || plan.contains("in(month"))
+  }
 }
