@@ -78,6 +78,8 @@ object SparkEntry {
         Some(DedupOps.simhashPairsSql)),
       ("q54_simhash64_pairs", DedupOps.simhash64Pairs _,
         Some(DedupOps.simhash64PairsSql)),
+      ("q55_ann_multiprobe", SimilarityOps.annMultiProbe _,
+        Some(SimilarityOps.annMultiProbeSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

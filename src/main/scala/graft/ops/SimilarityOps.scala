@@ -190,6 +190,93 @@ object SimilarityOps {
        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.bucket = b.bucket
        |) WHERE rn <= 3""".stripMargin
 
+  /** q55 — IVF search with multi-probe (nprobe = 2), the standard
+    * recall lever real IVF deployments turn: DATA vectors live in
+    * exactly their argmax bucket (q51's assignment), but each QUERY
+    * probes its 2 nearest centroids' buckets and ranks candidates
+    * from both. One HOF fold computes best AND second-best centroid
+    * per row (same strict-`>` tie semantics as q51 ⇒ identical b1),
+    * so the probe expansion is still shuffle-free; the pair join cost
+    * scales with nprobe, which is the recall/cost dial. A data vector
+    * has ONE bucket and probe buckets are distinct, so no candidate
+    * dedup is needed. */
+  def annMultiProbe(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val e = withNorm(Tables.embeddings(s, dir))
+    val cents = e.where($"vec_id" < QuantizerK)
+      .select(struct($"vec_id".as("cid"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+    val sim = "vec_dot(embedding, c.cemb) / (nrm * c.cnrm)"
+    val top2 = e.join(broadcast(cents))
+      .withColumn("acc", expr(
+        s"""aggregate(cents,
+           |  named_struct('b1', CAST(-1 AS BIGINT),
+           |               's1', CAST('-Infinity' AS DOUBLE),
+           |               'b2', CAST(-1 AS BIGINT),
+           |               's2', CAST('-Infinity' AS DOUBLE)),
+           |  (acc, c) -> CASE
+           |    WHEN $sim > acc.s1 THEN named_struct(
+           |      'b1', c.cid, 's1', $sim, 'b2', acc.b1, 's2', acc.s1)
+           |    WHEN $sim > acc.s2 THEN named_struct(
+           |      'b1', acc.b1, 's1', acc.s1, 'b2', c.cid, 's2', $sim)
+           |    ELSE acc END)""".stripMargin))
+      .drop("cents")
+    val data = top2.select($"vec_id".as("neighbor_id"),
+      $"acc.b1".as("bb"), $"embedding".as("eb"), $"nrm".as("nb"))
+    val probe = top2.select($"vec_id",
+      explode(array($"acc.b1", $"acc.b2")).as("pbucket"),
+      $"embedding".as("ea"), $"nrm".as("na"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"cos_sim".desc, $"neighbor_id")
+    probe.join(data, $"pbucket" === $"bb" && $"vec_id" =!= $"neighbor_id")
+      .withColumn("cos_sim", dotCol("ea", "eb") / ($"na" * $"nb"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 3)
+      .select($"vec_id", $"neighbor_id", $"rn", $"cos_sim")
+  }
+
+  val annMultiProbeSql: String =
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < $QuantizerK
+       |), asg AS (
+       |  SELECT vec_id, cid, r FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_transform(list_zip(e.embedding, c.cemb),
+       |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |          (acc, x) -> acc + x) / (e.nrm * c.cnrm) DESC,
+       |        c.cid) AS r
+       |    FROM e CROSS JOIN c) WHERE r <= 2
+       |), data AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, a.cid AS bucket
+       |  FROM e JOIN asg a ON a.vec_id = e.vec_id AND a.r = 1
+       |), probe AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, a.cid AS bucket
+       |  FROM e JOIN asg a ON a.vec_id = e.vec_id
+       |)
+       |SELECT vec_id, neighbor_id, rn, cos_sim FROM (
+       |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+       |    list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |      (acc, x) -> acc + x) / (a.nrm * b.nrm) AS cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_transform(list_zip(a.embedding, b.embedding),
+       |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |        (acc, x) -> acc + x) / (a.nrm * b.nrm) DESC,
+       |      b.vec_id) AS rn
+       |  FROM probe a JOIN data b
+       |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+       |) WHERE rn <= 3""".stripMargin
+
   /** q35 — embedding-cosine near-duplicate pairs (the vector-space
     * member of the dedup family): same-bucket pairs above a cosine
     * threshold, each listed once (a < b). */

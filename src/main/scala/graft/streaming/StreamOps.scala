@@ -118,6 +118,33 @@ object StreamOps {
     s.read.parquet(s"$outDir/data")
   }
 
+  /** Stream-stream interval join (the continuous form of q46): error
+    * events inner-join click events of the same user within the
+    * preceding 2 hours, both sides watermarked so the join state is
+    * bounded by the time horizon, not the stream length — the
+    * standard Spark stream-stream join shape. Inner joins emit each
+    * matched pair as soon as both rows have arrived; the watermarks
+    * only bound state retention. StreamingSpec aggregates the drained
+    * pairs and compares against the batch q46 counts (matched rows).
+    */
+  def streamIntervalJoin(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val errors = eventsStream(s, dir)
+      .where($"event_type" === "error")
+      .select($"event_id", $"user_id".as("u_err"), $"ts".as("ts_err"))
+      .withWatermark("ts_err", "2 hours")
+    val clicks = eventsStream(s, dir)
+      .where($"event_type" === "click")
+      .select($"user_id".as("u_click"), $"ts".as("ts_click"))
+      .withWatermark("ts_click", "2 hours")
+    val pairs = errors.join(clicks,
+      $"u_err" === $"u_click" &&
+        $"ts_click" >= $"ts_err" - expr("INTERVAL 2 HOURS") &&
+        $"ts_click" < $"ts_err")
+    drainToTable(s, pairs, "graft_stream_ijoin", "append")
+      .select($"event_id", $"u_err".as("user_id"), $"ts_click")
+  }
+
   /** Per-user running state for [[statefulUserCounts]]. */
   final case class UserState(n: Long, total: Double)
   final case class UserCount(user_id: Long, n_events: Long,

@@ -69,6 +69,23 @@ class DedupSimilaritySpec extends SparkSpec {
       .where($"bucket" =!= $"expected_bucket").count() == 0)
   }
 
+  test("q55 multi-probe: per-vector best neighbor is never worse than " +
+      "single-probe q51 (recall is monotone in nprobe)") {
+    val one = SimilarityOps.annQuantized(spark, sf0001)
+      .where($"rn" === 1L)
+      .select($"vec_id", $"cos_sim".as("s1"))
+    val two = SimilarityOps.annMultiProbe(spark, sf0001)
+      .where($"rn" === 1L)
+      .select($"vec_id", $"cos_sim".as("s2"))
+    // every vector q51 answers, q55 answers at least as well
+    assert(one.join(two, "vec_id").where($"s2" < $"s1").count() == 0)
+    // ...and q55 covers at least as many vectors (2 probed buckets)
+    assert(two.count() >= one.count())
+    // self never appears as its own neighbor
+    assert(SimilarityOps.annMultiProbe(spark, sf0001)
+      .where($"vec_id" === $"neighbor_id").count() == 0)
+  }
+
   test("exact dedup: canonical ids are fixpoints and group sizes >= 1") {
     val d = DedupOps.dedupExact(spark, sf0001)
     assert(d.where($"canonical_id" > $"doc_id").count() == 0)

@@ -61,6 +61,21 @@ class StreamingSpec extends SparkSpec {
     assert(stream.except(batch).isEmpty && batch.except(stream).isEmpty)
   }
 
+  test("stream-stream interval join pairs aggregate to the batch " +
+      "interval-join counts") {
+    val streamCounts = StreamOps.streamIntervalJoin(spark, sf0001)
+      .groupBy($"event_id")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+    val batchCounts = graft.ops.Relational.intervalJoin(spark, sf0001)
+      .where($"n_recent_clicks" > 0)
+      .select($"event_id", $"n_recent_clicks".as("n"))
+    assert(streamCounts.count() == batchCounts.count() &&
+      streamCounts.count() > 0)
+    assert(streamCounts.except(batchCounts).count() == 0)
+    assert(batchCounts.except(streamCounts).count() == 0)
+  }
+
   test("streaming dedup emits one row per distinct key") {
     val d = StreamOps.streamDedup(spark, sf0001)
     val expected = Tables.events(spark, sf0001)
