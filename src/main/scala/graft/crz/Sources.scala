@@ -28,6 +28,27 @@ object Sources {
       .option("sep", "|").option("header", "true")
       .csv(path)
 
+  /** S1/O7 — the daily-dump fetch PLAN as a relational operator: every
+    * day in [start, end] (the reference's rrule(DAILY) loop,
+    * 00_download_CRZ_DB.py:179-183) anti-joined against the dates
+    * already landed — re-running never re-plans a fetched day, which
+    * is the resume semantics the reference gets from files-on-disk —
+    * each with its export URL (00:206). The fetch itself is the
+    * external seam: feed these rows to [[graft.ops.ExternalTool]]
+    * under the [[Retry]] envelope.
+    *
+    * `landed`: one `fetch_date` (DATE) row per already-downloaded
+    * day — typically a projection of the landing directory listing. */
+  def dumpFetchPlan(s: SparkSession, start: String, end: String,
+      landed: DataFrame): DataFrame =
+    s.sql(s"SELECT explode(sequence(DATE'$start', DATE'$end', " +
+        "INTERVAL 1 DAY)) AS fetch_date")
+      .join(landed.select(col("fetch_date").cast("date").as("fetch_date")),
+        Seq("fetch_date"), "left_anti")
+      .withColumn("url", concat(lit("http://www.crz.gov.sk//export/"),
+        date_format(col("fetch_date"), "yyyy-MM-dd"), lit(".zip")))
+      .orderBy(col("fetch_date"))
+
   /** S7 — quote-aware multiline CSV scan: the reference's hand-rolled
     * quote-parity newline repair (09_clean_tables.py:153-180) is just
     * multiLine=true on a real CSV reader. */

@@ -362,6 +362,26 @@ class CrzSpec extends SparkSpec {
     assert(!rel.contains(3))
   }
 
+  test("S1/O7 dump-fetch plan: full date range minus landed days, " +
+      "reference URL shape, re-run plans nothing twice") {
+    val landed = Seq("2024-01-02", "2024-01-05", "2024-01-09")
+      .toDF("fetch_date")
+    val plan = Sources.dumpFetchPlan(spark, "2024-01-01", "2024-01-10",
+      landed).cache()
+    assert(plan.count() == 7) // 10 days - 3 landed
+    val first = plan.head()
+    assert(first.getDate(0).toString == "2024-01-01")
+    assert(first.getString(1) ==
+      "http://www.crz.gov.sk//export/2024-01-01.zip")
+    assert(plan.where($"fetch_date".isin("2024-01-02", "2024-01-05",
+      "2024-01-09")).count() == 0)
+    // resume idempotence: planning against everything-landed is empty
+    val all = Sources.dumpFetchPlan(spark, "2024-01-01", "2024-01-10",
+      plan.select($"fetch_date").union(landed.select($"fetch_date".cast("date"))))
+    assert(all.count() == 0)
+    plan.unpersist()
+  }
+
   test("F22 REP expansion: the .aff substitution table accepts an " +
       "inflected form the bare wordlist rejects") {
     val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
