@@ -115,6 +115,11 @@ object Pipeline {
     val minedWords = Dictionary.mineSpecialWords(corpus, dic, cfg.dictMinCount)
     // entry point 3 — 06→07→09 when extracted-table fixtures exist
     val tables = cfg.tables.map { tc =>
+      // "configured but nothing landed yet" must fail with the cause,
+      // not an empty.reduceLeft from deep inside the union
+      require(tc.tables.nonEmpty,
+        "TablesConfig.tables is empty: pass None for Config.tables when " +
+          "stage 06 has produced no table CSVs yet")
       val cells = tc.tables.map { case (path, cid, n) =>
         TablesPipeline.readTableCsv(s, path, cid, n)
       }.reduce(_ unionByName _).cache()

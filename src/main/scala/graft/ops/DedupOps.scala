@@ -317,6 +317,35 @@ object DedupOps {
 
   private val simhashBands = 4 // 4 bands × 4 bits over the 16-bit sig
 
+  /** The band-join hamming≤2 pair search both signature widths share:
+    * explode (band, band-value), equi-join, exact `bit_count(xor)`
+    * filter BEFORE the pair-dedup exchange (far pairs — the bulk of
+    * candidates — never ride the shuffle), then distinct (a pair may
+    * share several intact bands). One parameterization, two widths —
+    * a fix here fixes q52 and q54 together. */
+  private def bandedHammingPairs(sig: DataFrame, sigCol: String,
+      bandBits: Int): DataFrame = {
+    val mask = (1 << bandBits) - 1
+    val bandStructs = (0 until simhashBands).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col(sigCol), i * bandBits).bitwiseAND(mask).as("bval"))
+    }
+    val bands = sig.select(col("doc_id"), col(sigCol),
+      explode(array(bandStructs: _*)).as("bv"))
+      .select(col("doc_id"), col(sigCol), col("bv.band"), col("bv.bval"))
+    val a = bands.as("a"); val b = bands.as("b")
+    a.join(b, col("a.band") === col("b.band") &&
+        col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col(s"a.$sigCol").as("sh_a"),
+        col("b.doc_id").as("doc_b"), col(s"b.$sigCol").as("sh_b"))
+      .withColumn("hamming",
+        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
+      .where(col("hamming") <= 2)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
+  }
+
   /** q52 — SimHash hamming≤2 near-dup pairs, found WITHOUT an
     * all-pairs scan: the 16-bit signature is banded into 4 chunks of
     * 4 bits and candidates are generated by a per-band equi-join —
@@ -331,30 +360,8 @@ object DedupOps {
     * a 64-bit signature with 4×16-bit bands (65 536 values each) so
     * band buckets stay bounded — same plan, wider `simhashBits`. The
     * md5-hex trick caps this build at 16 bits ⇒ documented limit. */
-  def simhashPairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = simhashSig(s, dir)
-    val bandStructs = (0 until simhashBands).map { i =>
-      struct(lit(i).as("band"),
-        shiftright($"simhash", i * 4).bitwiseAND(15).as("bval"))
-    }
-    val bands = sig.select($"doc_id", $"simhash",
-      explode(array(bandStructs: _*)).as("bv"))
-      .select($"doc_id", $"simhash", $"bv.band", $"bv.bval")
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"a.simhash".as("sh_a"),
-        $"b.doc_id".as("doc_b"), $"b.simhash".as("sh_b"))
-      // exact-distance filter BEFORE the dedup: bit_count is a cheap
-      // codegen'd row op, while distinct() is a shuffle — far pairs
-      // (the bulk of candidates) must not ride through the exchange
-      .withColumn("hamming",
-        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
-      .where($"hamming" <= 2)
-      .select($"doc_a", $"doc_b", $"hamming")
-      .distinct() // a pair may share several intact bands
-  }
+  def simhashPairs(s: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(simhashSig(s, dir), "simhash", bandBits = 4)
 
   val simhashPairsSql: String = {
     val bitDefs = (1 to simhashBits).map { j =>
@@ -427,28 +434,9 @@ object DedupOps {
     * degenerates into the near-all-pairs behavior the 16-bit q52
     * exhibits on a clustered corpus (1.5 M pairs at sf0.1). Same
     * pigeonhole exactness: ≤ 2 dirty bits cannot cover 4 bands. */
-  def simhash64Pairs(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
-    val sig = simhash64Sig(s, dir)
-    val bandStructs = (0 until simhashBands).map { i =>
-      struct(lit(i).as("band"),
-        shiftright($"simhash64", i * simhash64BandBits)
-          .bitwiseAND((1 << simhash64BandBits) - 1).as("bval"))
-    }
-    val bands = sig.select($"doc_id", $"simhash64",
-      explode(array(bandStructs: _*)).as("bv"))
-      .select($"doc_id", $"simhash64", $"bv.band", $"bv.bval")
-    val a = bands.as("a"); val b = bands.as("b")
-    a.join(b, $"a.band" === $"b.band" && $"a.bval" === $"b.bval" &&
-        $"a.doc_id" < $"b.doc_id")
-      .select($"a.doc_id".as("doc_a"), $"a.simhash64".as("sh_a"),
-        $"b.doc_id".as("doc_b"), $"b.simhash64".as("sh_b"))
-      .withColumn("hamming",
-        expr("CAST(bit_count(sh_a ^ sh_b) AS BIGINT)"))
-      .where($"hamming" <= 2)
-      .select($"doc_a", $"doc_b", $"hamming")
-      .distinct()
-  }
+  def simhash64Pairs(s: SparkSession, dir: String): DataFrame =
+    bandedHammingPairs(simhash64Sig(s, dir), "simhash64",
+      bandBits = simhash64BandBits)
 
   val simhash64PairsSql: String = {
     val vDefs = (1 to simhash64Digits).map(d =>

@@ -4,6 +4,7 @@ import java.util.concurrent.{Executors, ThreadFactory, TimeUnit, TimeoutExceptio
 
 import scala.jdk.CollectionConverters._
 
+import org.apache.spark.TaskContext
 import org.apache.spark.sql.{Dataset, Encoders}
 
 /** External-CLI adapter (S9/S11): the engine-side seam for the
@@ -30,9 +31,19 @@ import org.apache.spark.sql.{Dataset, Encoders}
   * `ok = false` instead of failing the Spark task, so one bad payload
   * out of millions costs one row, not a stage retry.
   *
-  * The line protocol carries STRINGS (paths or text payloads — the
-  * reference pipes file paths the same way); binary payloads belong
-  * in per-record mode or an encoding chosen by the caller.
+  * Robustness invariants (each spec-pinned or load-bearing):
+  *  - stdin writes happen on the helper pool, never the task thread,
+  *    so a tool that stalls WITHOUT consuming stdin (the classic
+  *    poisoned-startup case) still hits the timeout even when the
+  *    payload exceeds the OS pipe buffer;
+  *  - worker cleanup is registered as a TaskCompletionListener, so a
+  *    `limit(n)`, downstream exception, or task kill that abandons
+  *    the iterator cannot leak a live external process;
+  *  - the worker line protocol REJECTS payloads containing newlines
+  *    (ok = false) rather than writing them: a multi-line payload
+  *    would desynchronize the one-line-in/one-line-out pairing and
+  *    silently attribute answers to wrong records. Sanitize upstream
+  *    (see MultimodalOps) or use per-record mode for raw payloads.
   */
 object ExternalTool {
 
@@ -49,7 +60,7 @@ object ExternalTool {
 
   /** Pipe each (id, payload-line) through the tool. Lazily spawns the
     * worker on first record; restarts it after a timeout/crash;
-    * reaps it when the partition iterator is exhausted. */
+    * reaps it when the partition ends — normally or not. */
   def pipe(ds: Dataset[(Long, String)], conf: ToolConf): Dataset[ToolResult] = {
     implicit val enc = Encoders.product[ToolResult]
     ds.mapPartitions { it =>
@@ -57,6 +68,20 @@ object ExternalTool {
       else it.map(r => runOnce(r._1, r._2, conf))
     }
   }
+
+  // daemon pool for timeout-guarded pipe I/O: executor JVMs must not
+  // be kept alive by a thread blocked on a dead tool's pipe
+  private lazy val pool = Executors.newCachedThreadPool(new ThreadFactory {
+    override def newThread(r: Runnable): Thread = {
+      val t = new Thread(r, "graft-external-tool")
+      t.setDaemon(true); t
+    }
+  })
+
+  private def submit[T](body: => T) =
+    pool.submit(new java.util.concurrent.Callable[T] {
+      override def call(): T = body
+    })
 
   // ---- per-record mode -------------------------------------------------
 
@@ -67,21 +92,31 @@ object ExternalTool {
     try {
       proc = pb.start()
       val pid = proc.pid()
-      // stdout is drained on a helper thread so a tool writing more
-      // than one pipe buffer can't deadlock against our waitFor
       val in = proc.getInputStream
-      val drain = pool.submit(new java.util.concurrent.Callable[String] {
-        override def call(): String = new String(in.readAllBytes(), "UTF-8")
-      })
       val w = proc.getOutputStream
-      w.write(payload.getBytes("UTF-8")); w.close()
+      // BOTH pipe directions on helper threads: a tool that neither
+      // reads stdin nor writes stdout must still hit waitFor's
+      // timeout below (a task-thread write would block forever on a
+      // payload larger than the pipe buffer)
+      val drain = submit(new String(in.readAllBytes(), "UTF-8"))
+      submit {
+        // EPIPE here is legitimate: a tool may exit successfully
+        // without consuming all input (head-like extractors)
+        try { w.write(payload.getBytes("UTF-8")); w.close() }
+        catch { case _: java.io.IOException => () }
+      }
       if (!proc.waitFor(conf.timeoutMs, TimeUnit.MILLISECONDS)) {
         proc.destroyForcibly().waitFor()
         ToolResult(id, ok = false, timed_out = true, out = "", pid)
       } else {
-        val out = drain.get(conf.timeoutMs, TimeUnit.MILLISECONDS)
-        ToolResult(id, proc.exitValue() == 0, timed_out = false,
-          out.stripLineEnd, pid)
+        try {
+          val out = drain.get(conf.timeoutMs, TimeUnit.MILLISECONDS)
+          ToolResult(id, proc.exitValue() == 0, timed_out = false,
+            out.stripLineEnd, pid)
+        } catch {
+          case _: TimeoutException => // exited but stdout never closed
+            ToolResult(id, ok = false, timed_out = true, out = "", pid)
+        }
       }
     } catch {
       case _: Exception =>
@@ -93,21 +128,18 @@ object ExternalTool {
 
   // ---- per-partition worker mode ---------------------------------------
 
-  // daemon pool for timeout-guarded reads: executor JVMs must not be
-  // kept alive by a reader blocked on a dead tool's pipe
-  private lazy val pool = Executors.newCachedThreadPool(new ThreadFactory {
-    override def newThread(r: Runnable): Thread = {
-      val t = new Thread(r, "graft-external-tool")
-      t.setDaemon(true); t
-    }
-  })
-
   private def reusingIterator(it: Iterator[(Long, String)],
       conf: ToolConf): Iterator[ToolResult] = new Iterator[ToolResult] {
     private var proc: Process = _
     private var reader: java.io.BufferedReader = _
     private var writer: java.io.BufferedWriter = _
     private var closed = false
+
+    // a limit(n)/take/downstream exception abandons this iterator
+    // without draining it — the task-completion hook still reaps the
+    // worker (same reason Spark's own PipedRDD registers one)
+    Option(TaskContext.get())
+      .foreach(_.addTaskCompletionListener[Unit](_ => cleanup()))
 
     private def ensureWorker(): Unit =
       if (proc == null || !proc.isAlive) {
@@ -135,16 +167,24 @@ object ExternalTool {
 
     override def next(): ToolResult = {
       val (id, payload) = it.next()
+      // a payload with an embedded newline would desynchronize the
+      // line protocol for every LATER record — refuse it instead
+      if (payload.indexOf('\n') >= 0 || payload.indexOf('\r') >= 0)
+        return ToolResult(id, ok = false, timed_out = false, out = "",
+          worker_pid = if (proc != null) proc.pid() else -1L)
       try {
         ensureWorker()
         val pid = proc.pid()
-        writer.write(payload); writer.write("\n"); writer.flush()
-        val rd = reader
-        val line = pool.submit(new java.util.concurrent.Callable[String] {
-          override def call(): String = rd.readLine()
-        })
+        val wr = writer; val rd = reader
+        // write + read both under the timeout, off the task thread: a
+        // worker that stalls without consuming stdin must not hang
+        // the task on a pipe-buffer-sized payload
+        val answer = submit {
+          wr.write(payload); wr.write("\n"); wr.flush()
+          rd.readLine()
+        }
         try {
-          val out = line.get(conf.timeoutMs, TimeUnit.MILLISECONDS)
+          val out = answer.get(conf.timeoutMs, TimeUnit.MILLISECONDS)
           if (out == null) { // tool died mid-record
             kill()
             ToolResult(id, ok = false, timed_out = false, out = "", pid)

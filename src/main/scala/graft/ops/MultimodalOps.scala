@@ -92,7 +92,15 @@ object MultimodalOps {
         val conf = ExternalTool.ToolConf(
           command = cmd.split("\\s+").toIndexedSeq,
           timeoutMs = s.conf.get("spark.graft.media.timeoutMs", "10000").toLong)
-        ExternalTool.pipe(docs, conf).map { r =>
+        // the worker line protocol is one-line-in/one-line-out: an
+        // embedded newline would desync every later record in the
+        // partition (ExternalTool rejects such rows), so flatten
+        // newlines to spaces before piping — same normalization the
+        // whitespace stage applies anyway (P1)
+        val lineSafe = docs.map { case (id, text) =>
+          (id, text.replace('\n', ' ').replace('\r', ' '))
+        }
+        ExternalTool.pipe(lineSafe, conf).map { r =>
           val kind = if (r.id % 2 == 0) "image" else "audio"
           if (r.ok) MediaRecord(r.id, kind, r.out.getBytes("UTF-8"))
           else MediaRecord(r.id, kind + "!quarantine", Array.emptyByteArray)

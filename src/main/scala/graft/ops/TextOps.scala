@@ -169,14 +169,19 @@ object TextOps {
     * the struct compare (s asc, then n asc; -1 < any digit value)
     * reproduces Python's elementwise semantics including the
     * shorter-list-is-prefix rule. `regexp_extract_all` keeps the key
-    * RE2-expressible for the DuckDB oracle (no lookarounds). Digit
-    * runs beyond bigint range would overflow; contract identifiers
-    * never approach 19 digits. */
+    * RE2-expressible for the DuckDB oracle (no lookarounds). A digit
+    * run beyond bigint range (19+ digits) must DEGRADE, not abort
+    * under ANSI mode: try_cast + coalesce saturates it to Long.Max,
+    * so such runs sort after every representable run and equal-
+    * saturated ties fall through to the later runs / raw-name
+    * tie-break (the DuckDB twin states the same TRY_CAST+COALESCE). */
   def naturalKey(src: Column): Column =
     expr(s"""transform(
       regexp_extract_all(lower(${src.toString}), '[0-9]+|[^0-9]+', 0),
       r -> IF(r RLIKE '^[0-9]+$$',
-              named_struct('s', '', 'n', CAST(r AS BIGINT)),
+              named_struct('s', '',
+                'n', coalesce(try_cast(r AS BIGINT),
+                              ${Long.MaxValue}L)),
               named_struct('s', r, 'n', CAST(-1 AS BIGINT))))""")
 
   /** q14 — natural (alphanumeric) sort (O3: digit-run aware filename
@@ -202,7 +207,8 @@ object TextOps {
       |         list_transform(
       |           regexp_extract_all(lower(source), '[0-9]+|[^0-9]+'),
       |           r -> CASE WHEN regexp_matches(r, '^[0-9]+$')
-      |                THEN {'s': '', 'n': CAST(r AS BIGINT)}
+      |                THEN {'s': '', 'n': COALESCE(TRY_CAST(r AS BIGINT),
+      |                                             9223372036854775807)}
       |                ELSE {'s': r, 'n': CAST(-1 AS BIGINT)} END),
       |         source) AS natural_rank
       |FROM (SELECT DISTINCT source FROM documents)""".stripMargin

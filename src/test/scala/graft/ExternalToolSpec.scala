@@ -63,6 +63,44 @@ class ExternalToolSpec extends SparkSpec {
     assert(res.map(_.worker_pid).distinct.length == 3)
   }
 
+  test("a tool that never reads stdin still times out on an " +
+      "over-pipe-buffer payload (both modes)") {
+    val big = "x" * (1 << 20) // ~1 MB >> any OS pipe buffer
+    val ds = Seq((1L, big)).toDS()
+    for (reuse <- Seq(true, false)) {
+      val res = ExternalTool.pipe(ds,
+        ToolConf(Seq("/bin/sh", s"$tools/no_read.sh"),
+          timeoutMs = 500L, reuseProcess = reuse)).collect()
+      assert(res.length == 1 && res(0).timed_out, s"reuse=$reuse")
+    }
+  }
+
+  test("payloads with embedded newlines are rejected, not written — " +
+      "later records stay correctly paired") {
+    val ds = Seq((1L, "good"), (2L, "bad\npayload"), (3L, "also good"))
+      .toDS().coalesce(1).sortWithinPartitions("_1")
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/upper_worker.sh")))
+      .collect().sortBy(_.id)
+    assert(res(0).ok && !res(1).ok && !res(1).timed_out && res(2).ok)
+    // no protocol desync: record 3 gets ITS OWN answer
+    assert(res(2).out == s"${res(2).worker_pid} ALSO GOOD")
+  }
+
+  test("task completion reaps the worker when the iterator is " +
+      "abandoned early (limit/head)") {
+    val ds = spark.createDataset((1L to 100L).map(i => (i, s"r$i")))
+      .coalesce(1)
+    val first = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/upper_worker.sh")))
+      .head() // stops consuming after one row
+    val proc = new java.io.File(s"/proc/${first.worker_pid}")
+    val deadline = System.currentTimeMillis + 5000
+    while (proc.exists && System.currentTimeMillis < deadline)
+      Thread.sleep(100)
+    assert(!proc.exists, "worker process leaked past task completion")
+  }
+
   test("q33 feature flag routes decode through the external tool") {
     spark.conf.set("spark.graft.media.cmd",
       s"/bin/sh $tools/sleepy_worker.sh")
