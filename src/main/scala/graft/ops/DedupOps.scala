@@ -363,6 +363,37 @@ object DedupOps {
   def simhashPairs(s: SparkSession, dir: String): DataFrame =
     bandedHammingPairs(simhashSig(s, dir), "simhash", bandBits = 4)
 
+  /** Shared DuckDB tail of the banded pair search (the SQL twin of
+    * [[bandedHammingPairs]]) — `sigCtes` must define a CTE `sig`
+    * with (doc_id, `sigCol`). */
+  private def bandedPairsSqlTail(sigCtes: String, sigCol: String,
+      bandBits: Int): String = {
+    val mask = (1 << bandBits) - 1
+    s"""$sigCtes,
+       |bands AS (
+       |  SELECT doc_id, $sigCol, t.i AS band,
+       |         ($sigCol >> (t.i * $bandBits)) & $mask AS bval
+       |  FROM sig, range(0, $simhashBands) t(i)
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, a.$sigCol AS sh_a,
+       |         b.doc_id AS doc_b, b.$sigCol AS sh_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
+       |)
+       |SELECT doc_a, doc_b,
+       |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
+       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+  }
+
+  private val wordcountCtes =
+    """WITH w AS (
+      |  SELECT doc_id, word, count(*) AS cnt
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
+      |        FROM documents)
+      |  WHERE word <> '' GROUP BY doc_id, word
+      |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w)""".stripMargin
+
   val simhashPairsSql: String = {
     val bitDefs = (1 to simhashBits).map { j =>
       s"""CASE WHEN SUM(CASE WHEN instr('89abcdef', substr(h, $j, 1)) > 0
@@ -371,28 +402,12 @@ object DedupOps {
     }.mkString(", ")
     val shVal = (1 to simhashBits)
       .map(j => s"b$j * ${1L << (simhashBits - j)}").mkString(" + ")
-    s"""WITH w AS (
-       |  SELECT doc_id, word, count(*) AS cnt
-       |  FROM (SELECT doc_id,
-       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-       |        FROM documents)
-       |  WHERE word <> '' GROUP BY doc_id, word
-       |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w),
-       |bits AS (SELECT doc_id, $bitDefs FROM d GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($shVal AS BIGINT) AS simhash FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash, t.i AS band,
-       |         (simhash >> (t.i * 4)) & 15 AS bval
-       |  FROM sig, range(0, $simhashBands) t(i)
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash AS sh_a,
-       |         b.doc_id AS doc_b, b.simhash AS sh_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |)
-       |SELECT doc_a, doc_b,
-       |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+    bandedPairsSqlTail(
+      s"""$wordcountCtes,
+         |bits AS (SELECT doc_id, $bitDefs FROM d GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($shVal AS BIGINT) AS simhash
+         |        FROM bits)""".stripMargin,
+      "simhash", bandBits = 4)
   }
 
   private val simhash64Bits = 60     // 15 md5 hex digits × 4 bits —
@@ -450,30 +465,13 @@ object DedupOps {
     }.mkString(", ")
     val sigVal = (0 until simhash64Bits)
       .map(j => s"b$j * ${1L << (simhash64Bits - 1 - j)}").mkString(" + ")
-    val mask = (1 << simhash64BandBits) - 1
-    s"""WITH w AS (
-       |  SELECT doc_id, word, count(*) AS cnt
-       |  FROM (SELECT doc_id,
-       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS word
-       |        FROM documents)
-       |  WHERE word <> '' GROUP BY doc_id, word
-       |), d AS (SELECT doc_id, cnt, md5(word) AS h FROM w),
-       |v AS (SELECT doc_id, cnt, $vDefs FROM d),
-       |bits AS (SELECT doc_id, $bitDefs FROM v GROUP BY doc_id),
-       |sig AS (SELECT doc_id, CAST($sigVal AS BIGINT) AS simhash64 FROM bits),
-       |bands AS (
-       |  SELECT doc_id, simhash64, t.i AS band,
-       |         (simhash64 >> (t.i * $simhash64BandBits)) & $mask AS bval
-       |  FROM sig, range(0, $simhashBands) t(i)
-       |), cand AS (
-       |  SELECT DISTINCT a.doc_id AS doc_a, a.simhash64 AS sh_a,
-       |         b.doc_id AS doc_b, b.simhash64 AS sh_b
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.bval = b.bval AND a.doc_id < b.doc_id
-       |)
-       |SELECT DISTINCT doc_a, doc_b,
-       |       CAST(bit_count(xor(sh_a, sh_b)) AS BIGINT) AS hamming
-       |FROM cand WHERE bit_count(xor(sh_a, sh_b)) <= 2""".stripMargin
+    bandedPairsSqlTail(
+      s"""$wordcountCtes,
+         |v AS (SELECT doc_id, cnt, $vDefs FROM d),
+         |bits AS (SELECT doc_id, $bitDefs FROM v GROUP BY doc_id),
+         |sig AS (SELECT doc_id, CAST($sigVal AS BIGINT) AS simhash64
+         |        FROM bits)""".stripMargin,
+      "simhash64", bandBits = simhash64BandBits)
   }
 
   /** q23 — word-bigram Jaccard near-dup, blocked by (lang, source) —
