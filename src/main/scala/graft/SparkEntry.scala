@@ -80,6 +80,9 @@ object SparkEntry {
         Some(DedupOps.simhash64PairsSql)),
       ("q55_ann_multiprobe", SimilarityOps.annMultiProbe _,
         Some(SimilarityOps.annMultiProbeSql)),
+      ("q56_ann_lloyd",
+        ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
+        None), // float-mean centroids: order-sensitive, no exact oracle
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

@@ -277,6 +277,65 @@ object SimilarityOps {
        |    ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
        |) WHERE rn <= 3""".stripMargin
 
+  /** q56 — Lloyd refinement for the coarse quantizer: the training
+    * loop q51 seeds. Spherical k-means on the UNIT vectors — the
+    * centroid maximizing a cluster's summed cosine is the mean of its
+    * members' unit vectors, so each round (re-assign, re-average)
+    * never decreases the objective Σ best-cosine (spec-pinned).
+    * Rows-only for the driver: the cross-row float mean is
+    * summation-order-sensitive, exactly why q51 keeps the seed
+    * centroids for its bit-exact oracle.
+    *
+    * Scale shape per round: assignment is the same zero-shuffle
+    * broadcast + HOF argmax as q51; the update is one posexplode →
+    * (bucket, dim) partial-mean aggregation — map-side combinable,
+    * k×d output rows, broadcast back. Rounds are O(1) jobs each. */
+  def annLloyd(s: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val e = withNorm(Tables.embeddings(s, dir))
+      .withColumn("unit",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"))
+      .select($"vec_id", $"unit")
+      .cache()
+    // seed: unit vectors of the K lowest vec_ids (q51's quantizer)
+    var cents = e.where($"vec_id" < QuantizerK)
+      .select($"vec_id".as("cid"), $"unit".as("cvec"))
+    def assign(cs: DataFrame): DataFrame = {
+      val packed = cs
+        .select(struct($"cid", $"cvec",
+          expr("sqrt(aggregate(zip_with(cvec, cvec, (x, y) -> x * y), " +
+            "CAST(0 AS DOUBLE), (acc, x) -> acc + x))").as("cnrm")).as("c"))
+        .agg(array_sort(collect_list($"c")).as("cents"))
+      val sim = "aggregate(zip_with(unit, c.cvec, (x, y) -> x * y), " +
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x) / c.cnrm"
+      e.join(broadcast(packed))
+        .withColumn("acc", expr(
+          s"""aggregate(cents,
+             |  named_struct('bid', CAST(-1 AS BIGINT),
+             |               'bs', CAST('-Infinity' AS DOUBLE)),
+             |  (acc, c) -> IF($sim > acc.bs,
+             |    named_struct('bid', c.cid, 'bs', $sim), acc))""".stripMargin))
+        .select($"vec_id", $"unit", $"acc.bid".as("bucket"),
+          $"acc.bs".as("best_sim"))
+    }
+    var assigned = assign(cents)
+    for (_ <- 1 to rounds) {
+      // centroid update: per-dimension mean of member unit vectors
+      // (partial-agg friendly; rebuilt in dimension order — a bare
+      // collect_list would be shuffle-order nondeterministic)
+      cents = assigned
+        .select($"bucket", posexplode($"unit").as(Seq("dim", "x")))
+        .groupBy($"bucket", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"bucket")
+        .agg(expr("transform(sort_array(collect_list(struct(dim, m))), " +
+          "p -> p.m)").as("cvec"))
+        .select($"bucket".as("cid"), $"cvec")
+      assigned = assign(cents)
+    }
+    assigned.select($"vec_id", $"bucket", $"best_sim")
+  }
+
   /** q35 — embedding-cosine near-duplicate pairs (the vector-space
     * member of the dedup family): same-bucket pairs above a cosine
     * threshold, each listed once (a < b). */

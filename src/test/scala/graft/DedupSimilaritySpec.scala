@@ -86,6 +86,25 @@ class DedupSimilaritySpec extends SparkSpec {
       .where($"vec_id" === $"neighbor_id").count() == 0)
   }
 
+  test("q56 Lloyd refinement: the spherical-kmeans objective is " +
+      "monotone over rounds and strictly covers the seed assignment") {
+    def objective(rounds: Int): Double =
+      SimilarityOps.annLloyd(spark, sf0001, rounds)
+        .agg(sum($"best_sim")).head().getDouble(0)
+    val o0 = objective(0) // seed centroids, argmax assignment only
+    val o1 = objective(1)
+    val o2 = objective(2)
+    // mean-of-unit-vectors update never decreases summed cosine
+    // (1e-9 absorbs float-reduction noise at sf0.001 magnitudes)
+    assert(o1 >= o0 - 1e-9, s"round 1 regressed: $o1 < $o0")
+    assert(o2 >= o1 - 1e-9, s"round 2 regressed: $o2 < $o1")
+    val out = SimilarityOps.annLloyd(spark, sf0001)
+    assert(out.count() ==
+      Tables.embeddings(spark, sf0001).count()) // every vector assigned
+    assert(out.where($"bucket" < 0 ||
+      $"bucket" >= SimilarityOps.QuantizerK).count() == 0)
+  }
+
   test("exact dedup: canonical ids are fixpoints and group sizes >= 1") {
     val d = DedupOps.dedupExact(spark, sf0001)
     assert(d.where($"canonical_id" > $"doc_id").count() == 0)
