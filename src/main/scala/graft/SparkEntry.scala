@@ -80,6 +80,8 @@ object SparkEntry {
         Some(DedupOps.simhash64PairsSql)),
       ("q55_ann_multiprobe", SimilarityOps.annMultiProbe _,
         Some(SimilarityOps.annMultiProbeSql)),
+      ("q57_boilerplate", TextOps.boilerplate _, Some(TextOps.boilerplateSql)),
+      ("q58_repetition", TextOps.repetition _, Some(TextOps.repetitionSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         None), // float-mean centroids: order-sensitive, no exact oracle

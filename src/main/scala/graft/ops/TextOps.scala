@@ -416,6 +416,92 @@ object TextOps {
 
   /** q29 — document fingerprinting (whitespace-normalized content hash
     * + a prefix hash; the rolling-hash fingerprint family). */
+  /** q57 — cross-document boilerplate detection (the CCNet-style
+    * repeated-line rule of an LLM ingest pipeline): a sentence
+    * appearing in ≥ [[BoilerMinDocs]] DISTINCT documents is
+    * boilerplate; each doc reports its boilerplate-sentence ratio.
+    * Two aggregations: sentence → distinct-doc count (map-side
+    * combinable), then doc rollup through a broadcast-joinable flag —
+    * no all-pairs anything; at 100 TB the sentence-frequency table is
+    * the only wide shuffle and it is count-distinct over a hashed key. */
+  val BoilerMinDocs = 3L
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sents = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(expr("filter(transform(split(lower(text), '\\\\. '), " +
+          "x -> trim(x)), x -> x <> '')")).as("sentence"))
+    val freq = sents.groupBy($"sentence")
+      .agg(countDistinct($"doc_id").as("n_docs"))
+    sents.join(freq, "sentence")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_sents"),
+        sum(when($"n_docs" >= BoilerMinDocs, 1L).otherwise(0L))
+          .as("n_boiler"))
+      .withColumn("boiler_ratio",
+        $"n_boiler".cast("double") / $"n_sents".cast("double"))
+      .select($"doc_id", $"n_sents", $"n_boiler", $"boiler_ratio")
+  }
+
+  val boilerplateSql: String =
+    s"""WITH sents AS (
+       |  SELECT doc_id, trim(x) AS sentence
+       |  FROM (SELECT doc_id, unnest(string_split(lower(text), '. ')) AS x
+       |        FROM documents)
+       |  WHERE trim(x) <> ''
+       |), freq AS (
+       |  SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM sents GROUP BY sentence
+       |)
+       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+       |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+       |       AS BIGINT) AS n_boiler,
+       |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+       |FROM sents s JOIN freq f USING (sentence)
+       |GROUP BY s.doc_id""".stripMargin
+
+  /** q58 — intra-document repetition ratio (the Gopher/RefinedWeb
+    * top-n-gram quality rule): frequency of the single most repeated
+    * word bigram over all bigram occurrences in the doc. One
+    * explode + (doc, bigram) count + doc-level max/sum rollup —
+    * narrow, map-side combinable, no cross-doc traffic at all. */
+  def repetition(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
+      .where(size($"ws") >= 2)
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_bigrams"), max($"c").as("top_count"))
+      .withColumn("rep_ratio",
+        $"top_count".cast("double") / $"n_bigrams".cast("double"))
+      .select($"doc_id", $"n_bigrams", $"top_count", $"rep_ratio")
+  }
+
+  val repetitionSql: String =
+    """WITH bg AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(range(1, len(ws)),
+      |      i -> ws[i] || ' ' || ws[i+1])) AS bigram
+      |  FROM (SELECT doc_id,
+      |          list_filter(string_split_regex(lower(text), '[^a-z]+'),
+      |            w -> w <> '') AS ws
+      |        FROM documents)
+      |  WHERE len(ws) >= 2
+      |), counts AS (
+      |  SELECT doc_id, bigram, COUNT(*) AS c FROM bg GROUP BY 1, 2
+      |)
+      |SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_bigrams,
+      |       CAST(MAX(c) AS BIGINT) AS top_count,
+      |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
+      |FROM counts GROUP BY doc_id""".stripMargin
+
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -70,6 +70,36 @@ class TextOpsSpec extends SparkSpec {
     assert(u2.getAs[Long]("b") == 0L)
   }
 
+  test("boilerplate ratios are well-formed and the rule actually " +
+      "fires on the self-similar corpus") {
+    val b = TextOps.boilerplate(spark, sf0001).cache()
+    assert(b.where($"boiler_ratio" < 0.0 || $"boiler_ratio" > 1.0)
+      .count() == 0)
+    assert(b.where($"n_boiler" > $"n_sents").count() == 0)
+    // the synthetic corpus repeats template sentences across docs —
+    // a detector that never fires would be vacuous
+    assert(b.where($"n_boiler" > 0).count() > 0)
+    b.unpersist()
+  }
+
+  test("repetition ratio is (0,1] and a fully-repeated doc scores 1") {
+    val r = TextOps.repetition(spark, sf0001)
+    assert(r.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).count() == 0)
+    // synthetic single-doc check through the same pipeline shape
+    val one = Seq((1L, "spam spam spam spam")).toDF("doc_id", "text")
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z]+'), w -> w <> '')"))
+      .select($"doc_id", explode(expr(
+        "transform(sequence(1, size(ws) - 1), " +
+          "i -> concat(element_at(ws, i), ' ', element_at(ws, i + 1)))"))
+        .as("bigram"))
+      .groupBy($"doc_id", $"bigram").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg((max($"c").cast("double") / sum($"c").cast("double"))
+        .as("rep_ratio"))
+    assert(one.head().getDouble(1) == 1.0)
+  }
+
   test("subject extraction snippet starts at the matched keyword") {
     val snips = TextOps.subjectExtract(spark, sf0001)
       .select("snippet").as[String].collect()
