@@ -417,48 +417,62 @@ object TextOps {
   /** q29 — document fingerprinting (whitespace-normalized content hash
     * + a prefix hash; the rolling-hash fingerprint family). */
   /** q57 — cross-document boilerplate detection (the CCNet-style
-    * repeated-line rule of an LLM ingest pipeline): a sentence
-    * appearing in ≥ [[BoilerMinDocs]] DISTINCT documents is
-    * boilerplate; each doc reports its boilerplate-sentence ratio.
-    * Two aggregations: sentence → distinct-doc count (map-side
-    * combinable), then doc rollup through a broadcast-joinable flag —
-    * no all-pairs anything; at 100 TB the sentence-frequency table is
-    * the only wide shuffle and it is count-distinct over a hashed key. */
+    * repeated-content rule of an LLM ingest pipeline): a word
+    * [[BoilerShingleWords]]-gram appearing in ≥ [[BoilerMinDocs]]
+    * DISTINCT documents is boilerplate; each doc reports the ratio of
+    * its shingle positions covered by boilerplate. The unit is the
+    * shingle, not the sentence: on this corpus template REUSE happens
+    * at sub-sentence granularity (no full sentence spans ≥3 docs at
+    * any SF, but 74+ distinct 5-grams do at sf0.01), so the shingle
+    * form is the one whose interesting branch actually executes.
+    * Two aggregations: shingle → distinct-doc count (map-side
+    * combinable), then doc rollup through the frequency join — no
+    * all-pairs anything; at 100 TB the shingle-frequency table is the
+    * only wide shuffle and it is count-distinct over a hashed key. */
   val BoilerMinDocs = 3L
+  val BoilerShingleWords = 5
   def boilerplate(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sents = Tables.documents(s, dir)
+    val sh = Tables.documents(s, dir)
+      .withColumn("ws",
+        expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
+      .where(size($"ws") >= BoilerShingleWords)
       .select($"doc_id",
-        explode(expr("filter(transform(split(lower(text), '\\\\. '), " +
-          "x -> trim(x)), x -> x <> '')")).as("sentence"))
-    val freq = sents.groupBy($"sentence")
+        explode(expr(s"transform(sequence(1, size(ws) - ${BoilerShingleWords - 1}), " +
+          s"i -> array_join(slice(ws, i, $BoilerShingleWords), ' '))")).as("shingle"))
+    val freq = sh.groupBy($"shingle")
       .agg(countDistinct($"doc_id").as("n_docs"))
-    sents.join(freq, "sentence")
+    sh.join(freq, "shingle")
       .groupBy($"doc_id")
-      .agg(count(lit(1)).as("n_sents"),
+      .agg(count(lit(1)).as("n_shingles"),
         sum(when($"n_docs" >= BoilerMinDocs, 1L).otherwise(0L))
           .as("n_boiler"))
       .withColumn("boiler_ratio",
-        $"n_boiler".cast("double") / $"n_sents".cast("double"))
-      .select($"doc_id", $"n_sents", $"n_boiler", $"boiler_ratio")
+        $"n_boiler".cast("double") / $"n_shingles".cast("double"))
+      .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_ratio")
   }
 
   val boilerplateSql: String =
-    s"""WITH sents AS (
-       |  SELECT doc_id, trim(x) AS sentence
-       |  FROM (SELECT doc_id, unnest(string_split(lower(text), '. ')) AS x
-       |        FROM documents)
-       |  WHERE trim(x) <> ''
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      w -> w <> '') AS ws
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - ${BoilerShingleWords - 2}),
+       |      i -> array_to_string(ws[i:i+${BoilerShingleWords - 1}], ' '))) AS shingle
+       |  FROM words WHERE len(ws) >= $BoilerShingleWords
        |), freq AS (
-       |  SELECT sentence, COUNT(DISTINCT doc_id) AS n_docs
-       |  FROM sents GROUP BY sentence
+       |  SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
+       |  FROM sh GROUP BY shingle
        |)
-       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_sents,
+       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
        |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
        |       AS BIGINT) AS n_boiler,
        |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
        |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
-       |FROM sents s JOIN freq f USING (sentence)
+       |FROM sh s JOIN freq f USING (shingle)
        |GROUP BY s.doc_id""".stripMargin
 
   /** q58 — intra-document repetition ratio (the Gopher/RefinedWeb

@@ -75,11 +75,32 @@ class TextOpsSpec extends SparkSpec {
     val b = TextOps.boilerplate(spark, sf0001).cache()
     assert(b.where($"boiler_ratio" < 0.0 || $"boiler_ratio" > 1.0)
       .count() == 0)
-    assert(b.where($"n_boiler" > $"n_sents").count() == 0)
-    // the synthetic corpus repeats template sentences across docs —
-    // a detector that never fires would be vacuous
+    assert(b.where($"n_boiler" > $"n_shingles").count() == 0)
+    // the synthetic corpus reuses template phrasing across docs at
+    // sub-sentence granularity — word 5-grams span ≥ BoilerMinDocs
+    // docs at every SF, so a detector that never fires would be
+    // vacuous (this assertion is the non-vacuity guard)
     assert(b.where($"n_boiler" > 0).count() > 0)
     b.unpersist()
+  }
+
+  test("boilerplate flags a shingle shared by BoilerMinDocs synthetic " +
+      "docs and not a shingle unique to one") {
+    // three docs share one exact 5-word run; each also has unique tail
+    val shared = "the quick brown fox jumps"
+    val docs = Seq(
+      (1L, s"$shared over a lazy dog"),
+      (2L, s"$shared under a red fence"),
+      (3L, s"$shared beside a tall tree"),
+      (4L, "entirely different words live in this document here"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val b = TextOps.boilerplate(spark, tmp)
+    val byDoc = b.collect().map(r =>
+      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
+    assert(byDoc(1L) > 0 && byDoc(2L) > 0 && byDoc(3L) > 0)
+    assert(byDoc(4L) == 0L)
   }
 
   test("repetition ratio is (0,1] and a fully-repeated doc scores 1") {
