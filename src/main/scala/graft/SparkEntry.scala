@@ -85,6 +85,10 @@ object SparkEntry {
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         None), // float-mean centroids: order-sensitive, no exact oracle
+      ("q59_stream_interval_join", StreamOps.streamIntervalJoinCounts _,
+        Some(StreamOps.streamIntervalJoinCountsSql)),
+      ("q60_stream_file_windows", StreamOps.streamEventWindowFiles _,
+        Some(StreamOps.streamEventWindowFilesSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

@@ -118,6 +118,39 @@ object StreamOps {
     s.read.parquet(s"$outDir/data")
   }
 
+  /** q60 — [[streamEventWindowsToFiles]] as a driver-checkable query:
+    * the output directory is derived from the source dir under the
+    * warehouse path and cleared before each run, so every invocation
+    * re-executes the watermarked append-mode stream from a fresh
+    * checkpoint (the same full-reprocess semantics as q34's memory
+    * sink — the measured cost is the stream, not a cached read-back).
+    * Append mode emits exactly the windows whose end the watermark
+    * (max event time, 0 s delay) passed, so the oracle is the batch
+    * aggregate restricted to `we <= max(ts)` — this row-set difference
+    * vs q34 is precisely the continuous-semantics contract the oracle
+    * now locks. */
+  def streamEventWindowFiles(s: SparkSession, dir: String): DataFrame = {
+    val out = new org.apache.hadoop.fs.Path(
+      s.sessionState.conf.warehousePath,
+      "graft_stream_files_" + dir.replaceAll("[^A-Za-z0-9]", "_"))
+    val fs = out.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(out)) fs.delete(out, true)
+    streamEventWindowsToFiles(s, dir, out.toString)
+      .select(col("ws"), col("we"), col("event_type"), col("n"),
+        col("sum_value"))
+  }
+
+  val streamEventWindowFilesSql: String =
+    """WITH w AS (
+      |  SELECT date_trunc('hour', ts) AS ws,
+      |         date_trunc('hour', ts) + INTERVAL 1 HOUR AS we,
+      |         event_type, COUNT(*) AS n,
+      |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE) AS sum_value
+      |  FROM events GROUP BY 1, 2, 3
+      |)
+      |SELECT * FROM w
+      |WHERE we <= (SELECT max(ts) FROM events)""".stripMargin
+
   /** Stream-stream interval join (the continuous form of q46): error
     * events inner-join click events of the same user within the
     * preceding 2 hours, both sides watermarked so the join state is
@@ -144,6 +177,31 @@ object StreamOps {
     drainToTable(s, pairs, "graft_stream_ijoin", "append")
       .select($"event_id", $"u_err".as("user_id"), $"ts_click")
   }
+
+  /** q59 — [[streamIntervalJoin]] as a driver-checkable query: the
+    * emitted pairs rolled up to clicks-per-error counts. An inner
+    * stream-stream join emits exactly the matched pairs, so the
+    * rollup equals the batch q46 counts restricted to errors with at
+    * least one preceding click — the oracle states that correlated
+    * range count directly. This is the CORRECTNESS row that exercises
+    * real watermarked two-sided join state (q34 only covers the
+    * windowed-aggregate state path). */
+  def streamIntervalJoinCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    streamIntervalJoin(s, dir)
+      .groupBy($"event_id", $"user_id")
+      .agg(count(lit(1)).as("n_recent_clicks"))
+  }
+
+  val streamIntervalJoinCountsSql: String =
+    """SELECT * FROM (
+      |  SELECT e.event_id, e.user_id,
+      |    (SELECT COUNT(*) FROM events c
+      |     WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |       AND epoch_us(c.ts) >= epoch_us(e.ts) - CAST(7200000000 AS BIGINT)
+      |       AND epoch_us(c.ts) < epoch_us(e.ts)) AS n_recent_clicks
+      |  FROM events e WHERE e.event_type = 'error'
+      |) WHERE n_recent_clicks > 0""".stripMargin
 
   /** Per-user running state for [[statefulUserCounts]]. */
   final case class UserState(n: Long, total: Double)

@@ -76,6 +76,28 @@ class StreamingSpec extends SparkSpec {
     assert(batchCounts.except(streamCounts).count() == 0)
   }
 
+  test("registered q59 wrapper equals the batch matched-count rows " +
+      "and q60 wrapper is stable across re-runs") {
+    val q59 = StreamOps.streamIntervalJoinCounts(spark, sf0001)
+    val batch = graft.ops.Relational.intervalJoin(spark, sf0001)
+      .where($"n_recent_clicks" > 0)
+    assert(q59.count() == batch.count() && q59.count() > 0)
+    assert(q59.except(batch).count() == 0)
+    assert(batch.except(q59).count() == 0)
+    // the file-sink wrapper clears its managed output dir each run —
+    // a second invocation must reproduce the identical row set
+    val a = StreamOps.streamEventWindowFiles(spark, sf0001)
+    val aRows = a.count()
+    val b = StreamOps.streamEventWindowFiles(spark, sf0001)
+    assert(aRows == b.count() && aRows > 0)
+    assert(b.except(
+      StatsOps.eventWindows(spark, sf0001)
+        .withColumn("we", $"ws" + org.apache.spark.sql.functions
+          .expr("INTERVAL 1 HOUR"))
+        .select($"ws", $"we", $"event_type", $"n", $"sum_value"))
+      .count() == 0)
+  }
+
   test("streaming dedup emits one row per distinct key") {
     val d = StreamOps.streamDedup(spark, sf0001)
     val expected = Tables.events(spark, sf0001)
