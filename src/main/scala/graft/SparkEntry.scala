@@ -84,7 +84,7 @@ object SparkEntry {
       ("q58_repetition", TextOps.repetition _, Some(TextOps.repetitionSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
-        None), // float-mean centroids: order-sensitive, no exact oracle
+        Some(SimilarityOps.annLloydSql)), // exact decimal centroid means
       ("q59_stream_interval_join", StreamOps.streamIntervalJoinCounts _,
         Some(StreamOps.streamIntervalJoinCountsSql)),
       ("q60_stream_file_windows", StreamOps.streamEventWindowFiles _,

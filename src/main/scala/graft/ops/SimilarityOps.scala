@@ -282,9 +282,22 @@ object SimilarityOps {
     * centroid maximizing a cluster's summed cosine is the mean of its
     * members' unit vectors, so each round (re-assign, re-average)
     * never decreases the objective Σ best-cosine (spec-pinned).
-    * Rows-only for the driver: the cross-row float mean is
-    * summation-order-sensitive, exactly why q51 keeps the seed
-    * centroids for its bit-exact oracle.
+    *
+    * Exact oracle despite cross-row means: each component is summed
+    * as DECIMAL(38,18) — decimal addition is exact, so the sum is
+    * partitioning- and order-independent — then cast to DOUBLE once
+    * and divided by the count (a single IEEE division of identical
+    * operands in both engines). Two cross-engine traps, both fixed by
+    * routing DuckDB's casts through VARCHAR: (1) double→decimal —
+    * Spark quantizes the double's SHORTEST decimal representation
+    * (BigDecimal(java.lang.Double.toString)) while DuckDB's direct
+    * cast rounds the exact binary value; (2) decimal→double — Spark's
+    * BigDecimal.doubleValue is correctly rounded while DuckDB's
+    * direct cast double-rounds through int128/10^scale (off by one
+    * ulp on ~25% of centroid means). `CAST(x AS VARCHAR)` on each
+    * side of the decimal gives shortest-repr quantization in and a
+    * correctly-rounded strtod out (verified digit-identical over
+    * random probes and the full sf0.01 centroid table).
     *
     * Scale shape per round: assignment is the same zero-shuffle
     * broadcast + HOF argmax as q51; the update is one posexplode →
@@ -323,10 +336,15 @@ object SimilarityOps {
     for (_ <- 1 to rounds) {
       // centroid update: per-dimension mean of member unit vectors
       // (partial-agg friendly; rebuilt in dimension order — a bare
-      // collect_list would be shuffle-order nondeterministic)
+      // collect_list would be shuffle-order nondeterministic). The
+      // sum runs in DECIMAL(38,18): exact, so the mean no longer
+      // depends on partitioning/summation order — what upgrades this
+      // query from rows-only to an exact DuckDB oracle.
       cents = assigned
         .select($"bucket", posexplode($"unit").as(Seq("dim", "x")))
-        .groupBy($"bucket", $"dim").agg(avg($"x").as("m"))
+        .groupBy($"bucket", $"dim")
+        .agg((sum($"x".cast("decimal(38,18)")).cast("double") /
+          count(lit(1))).as("m"))
         .groupBy($"bucket")
         .agg(expr("transform(sort_array(collect_list(struct(dim, m))), " +
           "p -> p.m)").as("cvec"))
@@ -334,6 +352,60 @@ object SimilarityOps {
       assigned = assign(cents)
     }
     assigned.select($"vec_id", $"bucket", $"best_sim")
+  }
+
+  /** DuckDB twin of [[annLloyd]] (rounds = 2, unrolled): seed assign
+    * a0, update c1, assign a1, update c2, final assign a2. The
+    * VARCHAR-routed decimal cast matches Spark's shortest-repr
+    * quantization (see the scaladoc above); every other number is the
+    * same left-to-right fold as the q51/q55 oracles. */
+  val annLloydSql: String = {
+    // assignment of every unit vector to its best centroid: highest
+    // cosine, ties to the smallest cid — ROW_NUMBER(sim DESC, cid) ≡
+    // Spark's strict-> fold over the cid-sorted centroid array
+    def assign(c: String, out: String): String =
+      s""", ${out}_r AS (
+         |  SELECT e.vec_id, e.unit, c.cid,
+         |    list_reduce(list_transform(list_zip(e.unit, c.cvec),
+         |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+         |      (acc, x) -> acc + x) /
+         |    sqrt(list_reduce(list_transform(c.cvec, x -> x * x),
+         |      (acc, x) -> acc + x)) AS sim
+         |  FROM e CROSS JOIN $c c
+         |), $out AS (
+         |  SELECT vec_id, unit, cid AS bucket, sim AS best_sim FROM (
+         |    SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+         |      ORDER BY sim DESC, cid) AS r FROM ${out}_r
+         |  ) WHERE r = 1
+         |)""".stripMargin
+    // centroid update: exact decimal per-dimension mean, rebuilt in
+    // dimension order (parallel unnests zip index and value)
+    def update(a: String, out: String): String =
+      s""", $out AS (
+         |  SELECT bucket AS cid, list(m ORDER BY dim) AS cvec FROM (
+         |    SELECT bucket, dim,
+         |      CAST(CAST(SUM(CAST(CAST(x AS VARCHAR) AS DECIMAL(38,18)))
+         |        AS VARCHAR) AS DOUBLE) / COUNT(*) AS m
+         |    FROM (SELECT bucket, unnest(range(1, len(unit) + 1)) AS dim,
+         |                 unnest(unit) AS x FROM $a)
+         |    GROUP BY bucket, dim
+         |  ) GROUP BY bucket
+         |)""".stripMargin
+    s"""WITH en AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), e AS (
+       |  SELECT vec_id,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) AS unit
+       |  FROM en
+       |), c0 AS (
+       |  SELECT vec_id AS cid, unit AS cvec FROM e WHERE vec_id < $QuantizerK
+       |)${assign("c0", "a0")}${update("a0", "c1")}${assign("c1", "a1")}${
+        update("a1", "c2")}${assign("c2", "a2")}
+       |SELECT vec_id, bucket, best_sim FROM a2""".stripMargin
   }
 
   /** q35 — embedding-cosine near-duplicate pairs (the vector-space
