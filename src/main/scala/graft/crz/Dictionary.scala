@@ -18,13 +18,18 @@ object Dictionary {
 
   /** Load a hunspell-style `.dic` wordlist: first line is the word
     * count header (dropped — it is the only all-digit line a wordlist
-    * legitimately contains), one word per line after. One loader for
+    * legitimately contains), one word per line after. Entries may
+    * carry affix flags (`zmluva/8,13`): the flag string is split off
+    * into a `flags` column ([[expandWithAffixes]] consumes it; every
+    * other consumer selects `word` and is unaffected). One loader for
     * Pipeline.run and every spec — the header rule lives here only. */
   def loadDic(s: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     s.read.text(path)
-      .withColumnRenamed("value", "word")
-      .where(!col("word").rlike("^[0-9]+$"))
+      .where(!col("value").rlike("^[0-9]+$"))
+      .select(substring_index(col("value"), "/", 1).as("word"),
+        when(col("value").contains("/"),
+          substring_index(col("value"), "/", -1)).as("flags"))
 
   /** F21 — Slovak-alphabet tokenizer (05_build:22-38): split on any
     * run of characters outside the Slovak alphabet. */
@@ -88,6 +93,88 @@ object Dictionary {
       .where(col("word").contains(col("rep_from")))
       .select(replace(col("word"), col("rep_from"), col("rep_to")).as("word"))
     base.union(expanded).distinct()
+  }
+
+  /** Parse the SFX/PFX rule lines of a hunspell `.aff` file into
+    * (kind, flag, strip, append, cond) rows. A rule line has five
+    * fields — `SFX 8 a y a` = flag 8, strip `a`, append `y`, condition
+    * `a` (a regex fragment matched at the word END for SFX, START for
+    * PFX; `.` = always) — while block headers (`SFX 8 N 1`) have four
+    * and are excluded by the five-token pattern. `0` means an empty
+    * strip/append; continuation classes after `/` in the append field
+    * are dropped (single-affix application, see [[expandWithAffixes]]).
+    * sk_SK.aff (reference Dicts/sk_SK.aff) carries 6 586 SFX + 1 556
+    * PFX rules in this shape, all with numeric flags (`FLAG num`). */
+  def loadAffixRules(s: org.apache.spark.sql.SparkSession,
+      path: String): DataFrame =
+    s.read.text(path)
+      .where(col("value").rlike("^(SFX|PFX)(\\s+\\S+){4}"))
+      .select(split(col("value"), "\\s+").as("p"))
+      .select(
+        element_at(col("p"), 1).as("kind"),
+        element_at(col("p"), 2).as("flag"),
+        when(element_at(col("p"), 3) === "0", "")
+          .otherwise(element_at(col("p"), 3)).as("strip"),
+        when(element_at(col("p"), 4) === "0", "")
+          .otherwise(substring_index(element_at(col("p"), 4), "/", 1))
+          .as("append"),
+        element_at(col("p"), 5).as("cond"))
+
+  /** Hunspell affix morphology (F22, the SFX/PFX half REP expansion
+    * left open): expand the wordlist with every single-rule affix
+    * application — strip/append at the word end (SFX) or start (PFX)
+    * where the condition matches — so inflected forms (`zmluva/8` +
+    * `SFX 8 a y a` → `zmluvy`) pass spell membership.
+    *
+    * Flag gating is hunspell's: a flagged word applies exactly the
+    * rules its flags name (numeric comma-separated flags and
+    * single-character flag strings are auto-detected), an unflagged
+    * word in a flagged dictionary takes no affixes. `flagAware =
+    * false` is the bare-wordlist mode: every condition-matching rule
+    * applies to every word — an over-approximation that errs toward
+    * accepting (fewer false "misspelled", the failure direction P11's
+    * dummy-column ratio prefers).
+    *
+    * Deliberate deltas vs full hunspell (COVERAGE.md): single-affix
+    * application only — no PFX×SFX cross products, no continuation
+    * classes (two-step affix chains). Cost note: dimension-side only,
+    * wordlist × matching rules once before broadcast; flag-aware
+    * expansion is |dic| × avg-flags-per-word, the flag-blind mode is
+    * |dic| × |rules| and is meant for small wordlists. */
+  def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
+      flagAware: Boolean = true): DataFrame = {
+    val base =
+      if (dictionary.columns.contains("flags"))
+        dictionary.select(lower(col("word")).as("word"), col("flags"))
+      else
+        dictionary.select(lower(col("word")).as("word"),
+          lit(null).cast("string").as("flags"))
+    // FLAG num dictionaries list flags as comma-separated integers;
+    // the classic format packs one character per flag
+    val flagArr = when(col("flags").rlike("^[0-9]+(,[0-9]+)*$"),
+      split(col("flags"), ",")).otherwise(split(col("flags"), ""))
+    val gated = base.crossJoin(broadcast(affixRules))
+      .where(
+        if (flagAware) array_contains(flagArr, col("flag"))
+        else lit(true))
+    val expanded = gated
+      .where(
+        when(col("kind") === "SFX",
+          col("word").endsWith(col("strip")) &&
+            (col("cond") === "." ||
+              expr("word RLIKE concat(cond, '$')")))
+          .otherwise(
+            col("word").startsWith(col("strip")) &&
+              (col("cond") === "." ||
+                expr("word RLIKE concat('^', cond)"))))
+      .select(
+        when(col("kind") === "SFX",
+          concat(expr("substring(word, 1, length(word) - length(strip))"),
+            col("append")))
+          .otherwise(concat(col("append"),
+            expr("substring(word, length(strip) + 1)")))
+          .as("word"))
+    base.select("word").union(expanded).distinct()
   }
 
   /** F22 — spell(word): broadcast-set membership column (used by the

@@ -109,8 +109,15 @@ object Pipeline {
     // stage 08 — subjects; stage 05_build — dictionary mining
     val subjects = Subject.extract(corpus)
     val dicBase = Dictionary.loadDic(s, cfg.dictionaryDic)
+    // .aff expansion: REP substitutions ∪ flag-gated SFX/PFX affix
+    // forms, both applied to the base wordlist dimension-side
     val dic = cfg.dictionaryAff
-      .map(a => Dictionary.expandWithRep(dicBase, Dictionary.loadRepRules(s, a)))
+      .map { a =>
+        Dictionary.expandWithRep(dicBase, Dictionary.loadRepRules(s, a))
+          .union(Dictionary.expandWithAffixes(dicBase,
+            Dictionary.loadAffixRules(s, a)))
+          .distinct()
+      }
       .getOrElse(dicBase)
     val minedWords = Dictionary.mineSpecialWords(corpus, dic, cfg.dictMinCount)
     // entry point 3 — 06→07→09 when extracted-table fixtures exist
@@ -125,7 +132,7 @@ object Pipeline {
       }.reduce(_ unionByName _).cache()
       // spell dictionary = wordlist ∪ taxonomy words (09:86-93 loads
       // both hunspell and the keyword file)
-      val spellDict = dic.union(keywords
+      val spellDict = dic.select("word").union(keywords
         .select(explode(split(lower(col("keyword")), " ")).as("word")))
       val dataCells = cells.where(col("row_idx") > 0)
       val stats = TablesPipeline.columnStats(dataCells, spellDict, tc.keywords)

@@ -288,7 +288,8 @@ class CrzSpec extends SparkSpec {
     val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
     val kwWords = keywords.select(explode(split(lower($"keyword"), " "))
       .as("word"))
-    dic.union(kwWords) // reference: dictionaries ∪ keywords (09:85,134)
+    // reference: dictionaries ∪ keywords (09:85,134)
+    dic.select("word").union(kwWords)
   }
 
   test("S7: multiline quoted cell survives the CSV scan") {
@@ -394,6 +395,34 @@ class CrzSpec extends SparkSpec {
     assert(!Dictionary.spellOk(words, dic)
       .select("known").as[Boolean].head())
     assert(Dictionary.spellOk(words, Dictionary.expandWithRep(dic, rep))
+      .select("known").as[Boolean].head())
+  }
+
+  test("F22 SFX/PFX expansion: flag-gated affix forms pass spell " +
+      "membership; unflagged words take no affixes") {
+    val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
+    val rules = Dictionary.loadAffixRules(spark,
+      s"$fx/dictionary/sk_fixture.aff")
+    // 3 rule lines parse; the 4-token block headers must not
+    assert(rules.count() == 3)
+    assert(rules.where($"kind" === "PFX" && $"flag" === "1" &&
+      $"strip" === "" && $"append" === "naj").count() == 1)
+    val expanded = Dictionary.expandWithAffixes(dic, rules)
+    def known(w: String): Boolean =
+      Dictionary.spellOk(Seq(w).toDF("word"), expanded)
+        .select("known").as[Boolean].head()
+    // zmluva/8 + `SFX 8 a y a` → zmluvy; dodavatelec/9,1 →
+    // dodavatelca (SFX 9, multi-flag split) and najdodavatelec (PFX 1)
+    assert(known("zmluvy"))
+    assert(known("dodavatelca"))
+    assert(known("najdodavatelec"))
+    // sadzba ends in 'a' but carries no flag: hunspell gives
+    // unflagged words no affixes, so sadzby stays misspelled
+    assert(!known("sadzby"))
+    // flag-blind mode is the bare-wordlist over-approximation: every
+    // condition-matching rule applies, so sadzby IS accepted there
+    assert(Dictionary.spellOk(Seq("sadzby").toDF("word"),
+      Dictionary.expandWithAffixes(dic, rules, flagAware = false))
       .select("known").as[Boolean].head())
   }
 
