@@ -46,4 +46,35 @@ object Retry {
     }
     body // last attempt: unguarded, like the reference's final call
   }
+
+  /** The proxy seam of the fetch envelope (reference
+    * proxyhandler.py:15-44, consumed by 03_download_contracts.py:250-
+    * 272 as a `proxy_on`/`proxy_object` pair on every download): the
+    * reference routes each request through a user-validated proxy;
+    * the engine generalizes the single proxy to a LIST rotated
+    * round-robin across retry attempts — attempt `i` uses
+    * `proxies(i % size)` — so a proxy that caused the failure is not
+    * the one retried through. `body` receives the attempt's proxy
+    * (None when the list is empty = direct connection), and applies
+    * it to whatever HTTP client the deployment plugs into the S15
+    * shell; the network side stays external by contract, exactly like
+    * [[graft.ops.ExternalTool.ToolConf.proxies]]. */
+  def retryRotating[T](p: Policy = Policy(), proxies: Seq[String] = Nil,
+      retryOn: Throwable => Boolean = _.isInstanceOf[java.io.IOException],
+      sleep: Long => Unit = Thread.sleep)(body: Option[String] => T): T = {
+    def proxyFor(attempt: Int): Option[String] =
+      if (proxies.isEmpty) None
+      else Some(proxies(attempt % proxies.size))
+    val delays = schedule(p)
+    var attempt = 0
+    while (attempt < p.tries - 1) {
+      try return body(proxyFor(attempt))
+      catch {
+        case e: Throwable if retryOn(e) =>
+          sleep(delays(attempt))
+          attempt += 1
+      }
+    }
+    body(proxyFor(attempt)) // last attempt: unguarded
+  }
 }

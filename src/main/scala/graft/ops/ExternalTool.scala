@@ -49,9 +49,30 @@ object ExternalTool {
 
   /** @param command  argv of the tool (e.g. `Seq("/bin/sh", script)`)
     * @param timeoutMs per-RECORD guard, the camelot SIGALRM analogue
-    * @param reuseProcess one worker per partition vs one per record */
+    * @param reuseProcess one worker per partition vs one per record
+    * @param proxies   proxy URLs for network-bound tools (the S15
+    *   seam of reference proxyhandler.py:15-44): exported to the tool
+    *   as `GRAFT_PROXIES` (comma-joined, rotation is the tool's
+    *   choice — per-ATTEMPT rotation belongs to
+    *   [[graft.crz.Retry.retryRotating]]) plus the conventional
+    *   `http_proxy`/`https_proxy` pair set to the first entry, which
+    *   curl/wget-style fetchers honor without any flag plumbing. The
+    *   network side stays external by contract — the engine only
+    *   carries the configuration to the seam. */
   final case class ToolConf(command: Seq[String], timeoutMs: Long = 10000L,
-      reuseProcess: Boolean = true)
+      reuseProcess: Boolean = true, proxies: Seq[String] = Nil)
+
+  private def spawn(conf: ToolConf): Process = {
+    val pb = new ProcessBuilder(conf.command.asJava)
+      .redirectErrorStream(true)
+    if (conf.proxies.nonEmpty) {
+      val env = pb.environment()
+      env.put("GRAFT_PROXIES", conf.proxies.mkString(","))
+      env.put("http_proxy", conf.proxies.head)
+      env.put("https_proxy", conf.proxies.head)
+    }
+    pb.start()
+  }
 
   /** One row per input record, ok or not; `worker_pid` exposes
     * process identity so reuse is observable (and testable). */
@@ -86,11 +107,9 @@ object ExternalTool {
   // ---- per-record mode -------------------------------------------------
 
   private def runOnce(id: Long, payload: String, conf: ToolConf): ToolResult = {
-    val pb = new ProcessBuilder(conf.command.asJava)
-      .redirectErrorStream(true)
     var proc: Process = null
     try {
-      proc = pb.start()
+      proc = spawn(conf)
       val pid = proc.pid()
       val in = proc.getInputStream
       val w = proc.getOutputStream
@@ -144,8 +163,7 @@ object ExternalTool {
     private def ensureWorker(): Unit =
       if (proc == null || !proc.isAlive) {
         kill()
-        proc = new ProcessBuilder(conf.command.asJava)
-          .redirectErrorStream(true).start()
+        proc = spawn(conf)
         reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
         writer = new java.io.BufferedWriter(

@@ -398,6 +398,28 @@ class CrzSpec extends SparkSpec {
       .select("known").as[Boolean].head())
   }
 
+  test("S15 proxy rotation: retryRotating hands attempt i proxy " +
+      "i % size; empty list means direct") {
+    val used = scala.collection.mutable.ArrayBuffer[Option[String]]()
+    val proxies = Seq("http://p0:3128", "http://p1:3128", "http://p2:3128")
+    var calls = 0
+    val out = Retry.retryRotating(Retry.Policy(tries = 5),
+      proxies, sleep = _ => ()) { px =>
+      used.append(px); calls += 1
+      if (calls < 5) throw new java.io.IOException("through " + px)
+      "ok"
+    }
+    assert(out == "ok")
+    // round-robin across attempts, wrapping past the list end
+    assert(used.toSeq == Seq(Some("http://p0:3128"),
+      Some("http://p1:3128"), Some("http://p2:3128"),
+      Some("http://p0:3128"), Some("http://p1:3128")))
+    // no proxy list → every attempt is a direct connection
+    val direct = Retry.retryRotating(Retry.Policy(tries = 2),
+      Nil, sleep = _ => ()) { px => px }
+    assert(direct.isEmpty)
+  }
+
   test("F22 SFX/PFX expansion: flag-gated affix forms pass spell " +
       "membership; unflagged words take no affixes") {
     val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")

@@ -101,6 +101,26 @@ class ExternalToolSpec extends SparkSpec {
     assert(!proc.exists, "worker process leaked past task completion")
   }
 
+  test("ToolConf.proxies exports GRAFT_PROXIES and the conventional " +
+      "http(s)_proxy pair to the tool environment") {
+    val ds = Seq((1L, "ping")).toDS().coalesce(1)
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
+        reuseProcess = false,
+        proxies = Seq("http://10.0.0.1:3128", "http://10.0.0.2:3128")))
+      .collect()
+    assert(res(0).ok)
+    assert(res(0).out ==
+      "http://10.0.0.1:3128,http://10.0.0.2:3128|" +
+        "http://10.0.0.1:3128|http://10.0.0.1:3128")
+    // no proxies configured → the adapter leaves the environment alone
+    val bare = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
+        reuseProcess = false))
+      .collect()
+    assert(bare(0).ok && bare(0).out == "||")
+  }
+
   test("q33 feature flag routes decode through the external tool") {
     spark.conf.set("spark.graft.media.cmd",
       s"/bin/sh $tools/sleepy_worker.sh")
