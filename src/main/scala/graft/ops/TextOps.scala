@@ -209,8 +209,9 @@ object TextOps {
       |           r -> CASE WHEN regexp_matches(r, '^[0-9]+$')
       |                THEN {'s': '', 'n': COALESCE(TRY_CAST(r AS BIGINT),
       |                                             9223372036854775807)}
-      |                ELSE {'s': r, 'n': CAST(-1 AS BIGINT)} END),
-      |         source) AS natural_rank
+      |                ELSE {'s': r, 'n': CAST(-1 AS BIGINT)} END)
+      |           NULLS FIRST,
+      |         source NULLS FIRST) AS natural_rank
       |FROM (SELECT DISTINCT source FROM documents)""".stripMargin
 
   /** q26 — language identification by profile-token scoring (the
