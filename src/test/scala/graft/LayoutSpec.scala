@@ -31,6 +31,31 @@ class LayoutSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("layout fingerprint: unchanged sources skip the rewrite, a " +
+      "changed source forces one") {
+    import org.apache.hadoop.fs.Path
+    val first = LayoutOps.ensureMonthLayout(spark, sf0001)
+    val p = new Path(first)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestDataMtime: Long = fs.listStatus(p)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(_.getModificationTime).max
+    val before = newestDataMtime
+    // second call with identical sources: marker matches, no write
+    LayoutOps.ensureMonthLayout(spark, sf0001)
+    assert(newestDataMtime == before)
+    // corrupt the marker (≡ source fingerprint changed): must rebuild
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val marker = new Path(p, "_graft_fingerprint")
+    val out = fs.create(marker, true)
+    out.write("stale".getBytes("UTF-8")); out.close()
+    LayoutOps.ensureMonthLayout(spark, sf0001)
+    assert(newestDataMtime > before)
+    // and the rebuilt layout still answers the pruned query correctly
+    assert(LayoutOps.prunedMonthlyCounts(spark, first,
+      Seq("1996-01")).count() > 0)
+  }
+
   test("salted count equals plain count for every key") {
     val ev = Tables.events(spark, sf0001)
     val salted = LayoutOps.saltedCount(ev, "event_type", 8)
