@@ -95,21 +95,31 @@ object Dictionary {
     base.union(expanded).distinct()
   }
 
-  /** Parse the SFX/PFX rule lines of a hunspell `.aff` file into
-    * (kind, flag, strip, append, cond) rows. A rule line has five
-    * fields — `SFX 8 a y a` = flag 8, strip `a`, append `y`, condition
-    * `a` (a regex fragment matched at the word END for SFX, START for
-    * PFX; `.` = always) — while block headers (`SFX 8 N 1`) have four
-    * and are excluded by the five-token pattern. `0` means an empty
+  /** Parse the SFX/PFX blocks of a hunspell `.aff` file into
+    * (kind, flag, strip, append, cond, cross) rows. A rule line has
+    * five fields — `SFX 8 a y a` = flag 8, strip `a`, append `y`,
+    * condition `a` (a regex fragment matched at the word END for SFX,
+    * START for PFX; `.` = always) — while the block header
+    * (`SFX 8 Y 1`) carries the cross-product flag (`Y` = this block's
+    * rules may combine with a cross-product PFX/SFX partner, see
+    * [[expandWithAffixes]]) and the rule count. `0` means an empty
     * strip/append; continuation classes after `/` in the append field
-    * are dropped (single-affix application, see [[expandWithAffixes]]).
-    * sk_SK.aff (reference Dicts/sk_SK.aff) carries 6 586 SFX + 1 556
-    * PFX rules in this shape, all with numeric flags (`FLAG num`). */
+    * are dropped. sk_SK.aff (reference Dicts/sk_SK.aff) carries 6 586
+    * SFX + 1 556 PFX rules in this shape, numeric flags (`FLAG num`). */
   def loadAffixRules(s: org.apache.spark.sql.SparkSession,
-      path: String): DataFrame =
-    s.read.text(path)
-      .where(col("value").rlike("^(SFX|PFX)(\\s+\\S+){4}"))
+      path: String): DataFrame = {
+    val toks = s.read.text(path)
+      .where(col("value").rlike("^(SFX|PFX)\\s"))
       .select(split(col("value"), "\\s+").as("p"))
+    val headers = toks
+      .where(size(col("p")) === 4 &&
+        element_at(col("p"), 3).isin("Y", "N"))
+      .select(
+        element_at(col("p"), 1).as("kind"),
+        element_at(col("p"), 2).as("flag"),
+        (element_at(col("p"), 3) === "Y").as("cross"))
+    toks
+      .where(size(col("p")) >= 5)
       .select(
         element_at(col("p"), 1).as("kind"),
         element_at(col("p"), 2).as("flag"),
@@ -119,6 +129,9 @@ object Dictionary {
           .otherwise(substring_index(element_at(col("p"), 4), "/", 1))
           .as("append"),
         element_at(col("p"), 5).as("cond"))
+      .join(headers, Seq("kind", "flag"), "left")
+      .withColumn("cross", coalesce(col("cross"), lit(false)))
+  }
 
   /** Hunspell affix morphology (F22, the SFX/PFX half REP expansion
     * left open): expand the wordlist with every single-rule affix
@@ -135,12 +148,16 @@ object Dictionary {
     * accepting (fewer false "misspelled", the failure direction P11's
     * dummy-column ratio prefers).
     *
-    * Deliberate deltas vs full hunspell (COVERAGE.md): single-affix
-    * application only — no PFX×SFX cross products, no continuation
-    * classes (two-step affix chains). Cost note: dimension-side only,
-    * wordlist × matching rules once before broadcast; flag-aware
-    * expansion is |dic| × avg-flags-per-word, the flag-blind mode is
-    * |dic| × |rules| and is meant for small wordlists. */
+    * Cross products follow hunspell: when an SFX rule AND a PFX rule
+    * both sit in cross-product blocks (header flag `Y`) and the word
+    * carries both flags, the prefix applies to the suffixed form too
+    * ('lacna/10,1' → 'lacnejsia' → 'najlacnejsia'); a `N` block never
+    * combines. Remaining delta vs full hunspell (COVERAGE.md):
+    * continuation classes (two-step affix chains) are not applied.
+    * Cost note: dimension-side only, wordlist × matching rules once
+    * before broadcast; flag-aware expansion is |dic| ×
+    * avg-flags-per-word, the flag-blind mode is |dic| × |rules| and
+    * is meant for small wordlists. */
   def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
       flagAware: Boolean = true): DataFrame = {
     val base =
@@ -149,15 +166,37 @@ object Dictionary {
       else
         dictionary.select(lower(col("word")).as("word"),
           lit(null).cast("string").as("flags"))
+    val sfx = affixRules.where(col("kind") === "SFX")
+    val pfx = affixRules.where(col("kind") === "PFX")
+    // single-affix forms, plus the suffixed cross-candidates re-run
+    // through the cross-capable prefix rules (flag gating stays on
+    // the STEM's flags, which applyAffixRules preserves)
+    val suffixed = applyAffixRules(base, sfx, flagAware)
+    val prefixed = applyAffixRules(base, pfx, flagAware)
+    val crossed = applyAffixRules(
+      applyAffixRules(base, sfx.where(col("cross")), flagAware),
+      pfx.where(col("cross")), flagAware)
+    base.select("word")
+      .union(suffixed.select("word"))
+      .union(prefixed.select("word"))
+      .union(crossed.select("word"))
+      .distinct()
+  }
+
+  /** One strip/append pass of `rules` over `words` (word, flags):
+    * gate on the word's flags, test the rule condition at the
+    * affected edge, emit the derived form still carrying the source
+    * word's flags (so cross products can re-gate on the stem). */
+  private def applyAffixRules(words: DataFrame, rules: DataFrame,
+      flagAware: Boolean): DataFrame = {
     // FLAG num dictionaries list flags as comma-separated integers;
     // the classic format packs one character per flag
     val flagArr = when(col("flags").rlike("^[0-9]+(,[0-9]+)*$"),
       split(col("flags"), ",")).otherwise(split(col("flags"), ""))
-    val gated = base.crossJoin(broadcast(affixRules))
+    words.crossJoin(broadcast(rules))
       .where(
         if (flagAware) array_contains(flagArr, col("flag"))
         else lit(true))
-    val expanded = gated
       .where(
         when(col("kind") === "SFX",
           col("word").endsWith(col("strip")) &&
@@ -173,8 +212,8 @@ object Dictionary {
             col("append")))
           .otherwise(concat(col("append"),
             expr("substring(word, length(strip) + 1)")))
-          .as("word"))
-    base.select("word").union(expanded).distinct()
+          .as("word"),
+        col("flags"))
   }
 
   /** F22 — spell(word): broadcast-set membership column (used by the

@@ -425,10 +425,13 @@ class CrzSpec extends SparkSpec {
     val dic = Dictionary.loadDic(spark, s"$fx/dictionary/sk_fixture.dic")
     val rules = Dictionary.loadAffixRules(spark,
       s"$fx/dictionary/sk_fixture.aff")
-    // 3 rule lines parse; the 4-token block headers must not
-    assert(rules.count() == 3)
+    // 4 rule lines parse; the 4-token block headers must not (they
+    // contribute the cross flag instead)
+    assert(rules.count() == 4)
     assert(rules.where($"kind" === "PFX" && $"flag" === "1" &&
-      $"strip" === "" && $"append" === "naj").count() == 1)
+      $"strip" === "" && $"append" === "naj" && $"cross").count() == 1)
+    assert(rules.where($"kind" === "SFX" && $"flag" === "9" &&
+      !$"cross").count() == 1)
     val expanded = Dictionary.expandWithAffixes(dic, rules)
     def known(w: String): Boolean =
       Dictionary.spellOk(Seq(w).toDF("word"), expanded)
@@ -441,6 +444,12 @@ class CrzSpec extends SparkSpec {
     // sadzba ends in 'a' but carries no flag: hunspell gives
     // unflagged words no affixes, so sadzby stays misspelled
     assert(!known("sadzby"))
+    // cross products: lacna/10,1 with SFX 10 (cross=Y) and PFX 1
+    // (cross=Y) yields the prefixed superlative of the suffixed form
+    assert(known("lacnejsia"))
+    assert(known("najlacnejsia"))
+    // but SFX 9 is a cross=N block: dodavatelca never takes naj-
+    assert(!known("najdodavatelca"))
     // flag-blind mode is the bare-wordlist over-approximation: every
     // condition-matching rule applies, so sadzby IS accepted there
     assert(Dictionary.spellOk(Seq("sadzby").toDF("word"),
