@@ -82,6 +82,8 @@ object SparkEntry {
         Some(SimilarityOps.annMultiProbeSql)),
       ("q57_boilerplate", TextOps.boilerplate _, Some(TextOps.boilerplateSql)),
       ("q58_repetition", TextOps.repetition _, Some(TextOps.repetitionSql)),
+      ("q61_contamination", TextOps.contamination _,
+        Some(TextOps.contaminationSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

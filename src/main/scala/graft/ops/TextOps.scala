@@ -432,15 +432,26 @@ object TextOps {
     * only wide shuffle and it is count-distinct over a hashed key. */
   val BoilerMinDocs = 3L
   val BoilerShingleWords = 5
-  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+
+  /** (doc_id, shingle) long frame of overlapping word n-grams —
+    * shared by the boilerplate (q57) and decontamination (q61)
+    * detectors; one shingle row per POSITION (duplicates preserved,
+    * ratios need them). */
+  private def wordShingles(s: SparkSession, dir: String,
+      n: Int): DataFrame = {
     import s.implicits._
-    val sh = Tables.documents(s, dir)
+    Tables.documents(s, dir)
       .withColumn("ws",
         expr("filter(split(lower(text), '[^a-z0-9]+'), w -> w <> '')"))
-      .where(size($"ws") >= BoilerShingleWords)
+      .where(size($"ws") >= n)
       .select($"doc_id",
-        explode(expr(s"transform(sequence(1, size(ws) - ${BoilerShingleWords - 1}), " +
-          s"i -> array_join(slice(ws, i, $BoilerShingleWords), ' '))")).as("shingle"))
+        explode(expr(s"transform(sequence(1, size(ws) - ${n - 1}), " +
+          s"i -> array_join(slice(ws, i, $n), ' '))")).as("shingle"))
+  }
+
+  def boilerplate(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = wordShingles(s, dir, BoilerShingleWords)
     val freq = sh.groupBy($"shingle")
       .agg(countDistinct($"doc_id").as("n_docs"))
     sh.join(freq, "shingle")
@@ -474,6 +485,53 @@ object TextOps {
        |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
        |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
        |FROM sh s JOIN freq f USING (shingle)
+       |GROUP BY s.doc_id""".stripMargin
+
+  /** q61 — benchmark decontamination (the GPT-3/PaLM n-gram overlap
+    * rule of an LLM ingest pipeline): a training document sharing any
+    * word [[ContamShingleWords]]-gram with the evaluation set is
+    * contaminated and reported with its distinct-shared-shingle
+    * count. The eval set stands in as the [[ContamEvalMaxId]] lowest
+    * doc_ids (a real deployment feeds the benchmark suite as this
+    * side).
+    *
+    * Scale shape: eval suites are tiny next to a 100 TB corpus, so
+    * the distinct eval shingles BROADCAST and the corpus side joins
+    * map-side — zero corpus-wide shuffle before the per-doc
+    * count-distinct rollup (map-side combinable on doc_id). This is
+    * the decontamination layout production pipelines use; the
+    * all-shingle self-join q57 needs is never required here. */
+  val ContamShingleWords = 8
+  val ContamEvalMaxId = 20L
+  def contamination(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = wordShingles(s, dir, ContamShingleWords)
+    val ev = sh.where($"doc_id" < ContamEvalMaxId)
+      .select($"shingle").distinct()
+    sh.where($"doc_id" >= ContamEvalMaxId)
+      .join(broadcast(ev), "shingle")
+      .groupBy($"doc_id")
+      .agg(countDistinct($"shingle").as("n_shared"))
+  }
+
+  val contaminationSql: String =
+    s"""WITH words AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
+       |      w -> w <> '') AS ws
+       |  FROM documents
+       |), sh AS (
+       |  SELECT doc_id,
+       |    unnest(list_transform(range(1, len(ws) - ${ContamShingleWords - 2}),
+       |      i -> array_to_string(ws[i:i+${ContamShingleWords - 1}], ' '))) AS shingle
+       |  FROM words WHERE len(ws) >= $ContamShingleWords
+       |), ev AS (
+       |  SELECT DISTINCT shingle FROM sh WHERE doc_id < $ContamEvalMaxId
+       |)
+       |SELECT s.doc_id,
+       |  CAST(COUNT(DISTINCT s.shingle) AS BIGINT) AS n_shared
+       |FROM sh s JOIN ev USING (shingle)
+       |WHERE s.doc_id >= $ContamEvalMaxId
        |GROUP BY s.doc_id""".stripMargin
 
   /** q58 — intra-document repetition ratio (the Gopher/RefinedWeb

@@ -50,6 +50,13 @@ class PlanSpec extends SparkSpec {
       plan.contains("BroadcastExchange"))
   }
 
+  test("q61: the eval shingle set broadcasts — the corpus side joins " +
+      "map-side, no corpus-wide pre-join exchange") {
+    val plan = formatted(TextOps.contamination(spark, sf0001))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
   test("q04: contains-semijoin stays a broadcast NL semi join") {
     val plan = formatted(Relational.containsSemiJoin(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin"))

@@ -103,6 +103,33 @@ class TextOpsSpec extends SparkSpec {
     assert(byDoc(4L) == 0L)
   }
 
+  test("contamination flags corpus docs sharing an eval 8-gram and " +
+      "only those") {
+    // corpus overlap exists at sf0.001 (6 contaminated docs) — a
+    // detector that never fires would be vacuous
+    val c = TextOps.contamination(spark, sf0001)
+    assert(c.count() > 0)
+    assert(c.where($"doc_id" < TextOps.ContamEvalMaxId).count() == 0)
+    assert(c.where($"n_shared" <= 0).count() == 0)
+    // synthetic: doc 100 lifts an 8-word run from eval doc 1; doc 101
+    // shares only a 7-word run — one word short of the threshold
+    val run = "alpha bravo charlie delta echo foxtrot golf hotel"
+    val docs = Seq(
+      (1L, s"eval doc with $run inside it"),
+      (100L, s"training doc copying $run verbatim"),
+      // neighbors ('has' / 'broken') differ from eval's ('with' /
+      // 'hotel'), so no 8-gram forms around the 7-word run
+      (101L, s"training doc has alpha bravo charlie delta echo " +
+        "foxtrot golf broken here"))
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("contam").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val got = TextOps.contamination(spark, tmp).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("n_shared")).toMap
+    assert(got.contains(100L) && got(100L) >= 1L)
+    assert(!got.contains(101L))
+  }
+
   test("repetition ratio is (0,1] and a fully-repeated doc scores 1") {
     val r = TextOps.repetition(spark, sf0001)
     assert(r.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).count() == 0)
