@@ -84,6 +84,9 @@ object SparkEntry {
       ("q58_repetition", TextOps.repetition _, Some(TextOps.repetitionSql)),
       ("q61_contamination", TextOps.contamination _,
         Some(TextOps.contaminationSql)),
+      ("q62_det_split", TextOps.detSplit _, Some(TextOps.detSplitSql)),
+      ("q63_salient_terms", TextOps.salientTerms _,
+        Some(TextOps.salientTermsSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

@@ -534,6 +534,99 @@ object TextOps {
        |WHERE s.doc_id >= $ContamEvalMaxId
        |GROUP BY s.doc_id""".stripMargin
 
+  /** q62 — deterministic stratified split (the reproducible
+    * train/val/test assignment a pre-training pipeline needs): each
+    * document's bucket is the first 4 hex digits of md5(doc_id)
+    * mod 100 — content-keyed, so re-running on a grown corpus never
+    * reassigns an existing doc, and partitioning-independent (no RNG
+    * state, no `rand()` whose draw order depends on the plan).
+    * Boundaries: bucket < [[SplitTrainPct]] → train,
+    * < [[SplitValPct]] → val, else test. Output is the per
+    * (lang, split) quota report a mixing/curriculum stage consumes.
+    *
+    * Scale shape: assignment is a per-row expression — ZERO shuffle
+    * for n docs; the only exchange is the tiny count rollup
+    * (map-side combinable). The hex→int idiom (`instr` of the digit
+    * in '0123456789abcdef') is the same engine-parity construction
+    * q54's simhash uses. */
+  val SplitTrainPct = 90
+  val SplitValPct = 95
+  def detSplit(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val hexVal = (1 to 4).map(d =>
+      s"(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), $d, 1)) - 1) * ${math.pow(16, 4 - d).toLong}")
+      .mkString(" + ")
+    Tables.documents(s, dir)
+      .withColumn("bucket", expr(s"($hexVal) % 100"))
+      .withColumn("split",
+        when($"bucket" < SplitTrainPct, "train")
+          .when($"bucket" < SplitValPct, "val")
+          .otherwise("test"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  val detSplitSql: String = {
+    val hexVal = (1 to 4).map(d =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $d, 1)) - 1) * ${math.pow(16, 4 - d).toLong}")
+      .mkString(" + ")
+    s"""SELECT lang,
+       |  CASE WHEN ($hexVal) % 100 < $SplitTrainPct THEN 'train'
+       |       WHEN ($hexVal) % 100 < $SplitValPct THEN 'val'
+       |       ELSE 'test' END AS split,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs
+       |FROM documents GROUP BY 1, 2""".stripMargin
+  }
+
+  /** q63 — salient-term extraction (the TF-IDF-family keyword miner
+    * over the corpus): per-document term frequency against corpus
+    * document frequency, top 3 terms per doc by tf/df. The score is
+    * a SINGLE IEEE division of identical integer operands in both
+    * engines (exact cross-engine ordering without trusting `ln`
+    * implementations to agree bit-for-bit — the reason this ranks by
+    * tf/df rather than tf·log(N/df); the ranking family is the same).
+    *
+    * Scale shape: tf is a per-doc narrow aggregate; df is the one
+    * corpus-wide exchange (word → doc count, map-side combinable,
+    * vocabulary-sized output); the top-3 window is per-doc and Spark
+    * plans `row_number() <= k` with WindowGroupLimit (partial below
+    * the exchange), so the ranking shuffle is already bounded. */
+  val SalientTopK = 3
+  def salientTerms(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"doc_id", explode(split(lower($"text"), "[^a-z]+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val w = Window.partitionBy($"doc_id")
+      .orderBy($"score".desc, $"word")
+    tf.join(df, "word")
+      .withColumn("score", $"tf".cast("double") / $"df".cast("double"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= SalientTopK)
+      .select($"doc_id", $"word", $"rn", $"tf", $"df", $"score")
+  }
+
+  val salientTermsSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, x AS word, CAST(COUNT(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS x
+       |        FROM documents)
+       |  WHERE x <> '' GROUP BY 1, 2
+       |), df AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+       |)
+       |SELECT doc_id, word, rn, tf, df, score FROM (
+       |  SELECT tf.doc_id, tf.word, tf.tf, df.df,
+       |    CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) AS score,
+       |    ROW_NUMBER() OVER (PARTITION BY tf.doc_id
+       |      ORDER BY CAST(tf.tf AS DOUBLE) / CAST(df.df AS DOUBLE) DESC,
+       |               tf.word) AS rn
+       |  FROM tf JOIN df USING (word)
+       |) WHERE rn <= $SalientTopK""".stripMargin
+
   /** q58 — intra-document repetition ratio (the Gopher/RefinedWeb
     * top-n-gram quality rule): frequency of the single most repeated
     * word bigram over all bigram occurrences in the doc. One

@@ -130,6 +130,52 @@ class TextOpsSpec extends SparkSpec {
     assert(!got.contains(101L))
   }
 
+  test("det split matches an independent md5-bucket computation and " +
+      "covers every doc exactly once") {
+    val got = TextOps.detSplit(spark, sf0001).collect()
+      .map(r => (r.getAs[String]("lang"), r.getAs[String]("split")) ->
+        r.getAs[Long]("n_docs")).toMap
+    // independent oracle: JDK MessageDigest, not Spark's md5
+    def bucket(id: Long): Int = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.take(2).map("%02x".format(_)).mkString
+      Integer.parseInt(hex, 16) % 100
+    }
+    def split(id: Long): String = {
+      val b = bucket(id)
+      if (b < TextOps.SplitTrainPct) "train"
+      else if (b < TextOps.SplitValPct) "val" else "test"
+    }
+    val expected = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").collect()
+      .map(r => (r.getAs[String]("lang"), split(r.getAs[Long]("doc_id"))))
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    assert(got == expected)
+    assert(got.values.sum ==
+      Tables.documents(spark, sf0001).count())
+    // all three splits materialize at this corpus size
+    assert(got.keys.map(_._2).toSet == Set("train", "val", "test"))
+  }
+
+  test("salient terms rank a doc's rare repeated word above ubiquitous " +
+      "fillers") {
+    val docs = Seq(
+      (1L, "apple apple apple common common"),
+      (2L, "common banana"),
+      (3L, "common cherry cherry"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length($"text").cast("long"))
+    val tmp = java.nio.file.Files.createTempDirectory("salient").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val top = TextOps.salientTerms(spark, tmp).where($"rn" === 1L)
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("word"))
+      .toMap
+    // tf/df: apple 3/1=3 beats common 2/3; cherry 2/1 beats common 1/3
+    assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
+  }
+
   test("repetition ratio is (0,1] and a fully-repeated doc scores 1") {
     val r = TextOps.repetition(spark, sf0001)
     assert(r.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).count() == 0)
