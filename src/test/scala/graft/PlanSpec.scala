@@ -57,6 +57,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"))
   }
 
+  test("q62: split assignment is per-row — the only exchange is the " +
+      "count rollup") {
+    val plan = formatted(TextOps.detSplit(spark, sf0001))
+    // partial + final agg around ONE shuffle; formatted prints each
+    // node twice (detail section), so 1 exchange ⇒ 2 mentions
+    assert(plan.split("Exchange").length - 1 <= 2)
+    assert(plan.contains("HashAggregate"))
+  }
+
+  test("q63: per-doc top-3 plans a bounded window (WindowGroupLimit), " +
+      "never a global sort") {
+    val plan = formatted(TextOps.salientTerms(spark, sf0001))
+    assert(plan.contains("WindowGroupLimit"))
+    assert(!plan.contains("GlobalLimit"))
+  }
+
   test("q04: contains-semijoin stays a broadcast NL semi join") {
     val plan = formatted(Relational.containsSemiJoin(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin"))
