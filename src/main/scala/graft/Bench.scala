@@ -76,7 +76,7 @@ object Bench {
       // pruned/co-located READ the layout exists for. Re-runs skip the
       // write via the source fingerprint marker.
       warm { graft.ops.LayoutOps.ensureMonthLayout(spark, sfDir) }
-      warm { graft.ops.LayoutOps.ensureBucketedTables(spark, sfDir, 8) }
+      warm { graft.ops.LayoutOps.ensureBucketedTables(spark, sfDir) }
     }
     // q52 is the didactic narrow-width simhash form: 16-bit signatures
     // over a clustered corpus emit ~1.5 M genuine pairs at sf0.1 — a
@@ -105,8 +105,11 @@ object Bench {
           spark.catalog.clearCache()
           secs
         }
+        // ANY failed run makes the query report -1: a flaky crash must
+        // be visible, not averaged away by its surviving runs
         val ok = times.filter(_ >= 0).sorted
-        val median = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+        val median =
+          if (ok.size < runs) -1.0 else ok(ok.size / 2)
         name -> median
       }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

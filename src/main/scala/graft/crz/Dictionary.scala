@@ -111,15 +111,22 @@ object Dictionary {
     val toks = s.read.text(path)
       .where(col("value").rlike("^(SFX|PFX)\\s"))
       .select(split(col("value"), "\\s+").as("p"))
+    // a header is `KIND flag Y|N <count>` — possibly with a trailing
+    // comment (`SFX 10 Y 1 # comparative`), which real-world .aff
+    // files carry, so the test is shape-based (Y/N then digits, then
+    // nothing or a comment), not a bare token count
+    val isHeader = element_at(col("p"), 3).isin("Y", "N") &&
+      element_at(col("p"), 4).rlike("^[0-9]+$") &&
+      (size(col("p")) === 4 ||
+        element_at(col("p"), 5).rlike("^[#/]"))
     val headers = toks
-      .where(size(col("p")) === 4 &&
-        element_at(col("p"), 3).isin("Y", "N"))
+      .where(isHeader)
       .select(
         element_at(col("p"), 1).as("kind"),
         element_at(col("p"), 2).as("flag"),
         (element_at(col("p"), 3) === "Y").as("cross"))
     toks
-      .where(size(col("p")) >= 5)
+      .where(size(col("p")) >= 5 && !isHeader)
       .select(
         element_at(col("p"), 1).as("kind"),
         element_at(col("p"), 2).as("flag"),
@@ -133,6 +140,17 @@ object Dictionary {
       .withColumn("cross", coalesce(col("cross"), lit(false)))
   }
 
+  /** True when the `.aff` declares `FLAG num` — entry flags are then
+    * comma-separated integers (`word/8,13`); otherwise the classic
+    * one-character-per-flag packing (`word/AB`) applies. Read from
+    * the directive, never guessed from flag shapes: a char-flag
+    * entry `word/12` means flags '1' and '2', which a digits-based
+    * heuristic would misread as one flag "12". */
+  def affUsesNumFlags(s: org.apache.spark.sql.SparkSession,
+      path: String): Boolean =
+    s.read.text(path).where(col("value").rlike("^FLAG\\s+num\\b"))
+      .limit(1).count() > 0
+
   /** Hunspell affix morphology (F22, the SFX/PFX half REP expansion
     * left open): expand the wordlist with every single-rule affix
     * application — strip/append at the word end (SFX) or start (PFX)
@@ -140,8 +158,9 @@ object Dictionary {
     * `SFX 8 a y a` → `zmluvy`) pass spell membership.
     *
     * Flag gating is hunspell's: a flagged word applies exactly the
-    * rules its flags name (numeric comma-separated flags and
-    * single-character flag strings are auto-detected), an unflagged
+    * rules its flags name (`numericFlags` — from the .aff `FLAG num`
+    * directive via [[affUsesNumFlags]] — selects comma-separated
+    * numeric vs per-character flag parsing), an unflagged
     * word in a flagged dictionary takes no affixes. `flagAware =
     * false` is the bare-wordlist mode: every condition-matching rule
     * applies to every word — an over-approximation that errs toward
@@ -159,7 +178,8 @@ object Dictionary {
     * avg-flags-per-word, the flag-blind mode is |dic| × |rules| and
     * is meant for small wordlists. */
   def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
-      flagAware: Boolean = true): DataFrame = {
+      flagAware: Boolean = true,
+      numericFlags: Boolean = true): DataFrame = {
     val base =
       if (dictionary.columns.contains("flags"))
         dictionary.select(lower(col("word")).as("word"), col("flags"))
@@ -171,11 +191,12 @@ object Dictionary {
     // single-affix forms, plus the suffixed cross-candidates re-run
     // through the cross-capable prefix rules (flag gating stays on
     // the STEM's flags, which applyAffixRules preserves)
-    val suffixed = applyAffixRules(base, sfx, flagAware)
-    val prefixed = applyAffixRules(base, pfx, flagAware)
+    val suffixed = applyAffixRules(base, sfx, flagAware, numericFlags)
+    val prefixed = applyAffixRules(base, pfx, flagAware, numericFlags)
     val crossed = applyAffixRules(
-      applyAffixRules(base, sfx.where(col("cross")), flagAware),
-      pfx.where(col("cross")), flagAware)
+      applyAffixRules(base, sfx.where(col("cross")), flagAware,
+        numericFlags),
+      pfx.where(col("cross")), flagAware, numericFlags)
     base.select("word")
       .union(suffixed.select("word"))
       .union(prefixed.select("word"))
@@ -188,11 +209,12 @@ object Dictionary {
     * affected edge, emit the derived form still carrying the source
     * word's flags (so cross products can re-gate on the stem). */
   private def applyAffixRules(words: DataFrame, rules: DataFrame,
-      flagAware: Boolean): DataFrame = {
+      flagAware: Boolean, numericFlags: Boolean): DataFrame = {
     // FLAG num dictionaries list flags as comma-separated integers;
     // the classic format packs one character per flag
-    val flagArr = when(col("flags").rlike("^[0-9]+(,[0-9]+)*$"),
-      split(col("flags"), ",")).otherwise(split(col("flags"), ""))
+    val flagArr =
+      if (numericFlags) split(col("flags"), ",")
+      else split(col("flags"), "")
     words.crossJoin(broadcast(rules))
       .where(
         if (flagAware) array_contains(flagArr, col("flag"))

@@ -115,7 +115,8 @@ object Pipeline {
       .map { a =>
         Dictionary.expandWithRep(dicBase, Dictionary.loadRepRules(s, a))
           .union(Dictionary.expandWithAffixes(dicBase,
-            Dictionary.loadAffixRules(s, a)))
+            Dictionary.loadAffixRules(s, a),
+            numericFlags = Dictionary.affUsesNumFlags(s, a)))
           .distinct()
       }
       .getOrElse(dicBase)

@@ -30,22 +30,13 @@ object Retry {
 
   /** Run `body` under the policy. `retryOn` mirrors the decorator's
     * ExceptionToCheck: anything else propagates immediately. `sleep`
-    * is injectable so specs assert the schedule without waiting. */
+    * is injectable so specs assert the schedule without waiting.
+    * (The proxy-less case of [[retryRotating]] — one retry loop, one
+    * set of invariants to maintain.) */
   def retry[T](p: Policy = Policy(),
       retryOn: Throwable => Boolean = _.isInstanceOf[java.io.IOException],
-      sleep: Long => Unit = Thread.sleep)(body: => T): T = {
-    val delays = schedule(p)
-    var attempt = 0
-    while (attempt < p.tries - 1) {
-      try return body
-      catch {
-        case e: Throwable if retryOn(e) =>
-          sleep(delays(attempt))
-          attempt += 1
-      }
-    }
-    body // last attempt: unguarded, like the reference's final call
-  }
+      sleep: Long => Unit = Thread.sleep)(body: => T): T =
+    retryRotating(p, Nil, retryOn, sleep)(_ => body)
 
   /** The proxy seam of the fetch envelope (reference
     * proxyhandler.py:15-44, consumed by 03_download_contracts.py:250-

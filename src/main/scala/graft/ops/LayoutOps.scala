@@ -143,8 +143,14 @@ object LayoutOps {
     * is empty but the bucketed files + marker survive on disk → the
     * location is re-registered as an external `CLUSTERED BY` table, no
     * rewrite). Only a fingerprint miss pays the write. */
+  /** Bucket count of the REGISTERED q53 query — Bench warmup must
+    * build the very same layout (a different count changes the
+    * fingerprint tag and the measured query would silently re-pay the
+    * write), so both call sites share this constant. */
+  val DefaultBuckets = 8
+
   def ensureBucketedTables(s: SparkSession, dir: String,
-      buckets: Int): Unit = {
+      buckets: Int = DefaultBuckets): Unit = {
     val fp = sourceFingerprint(s, dir, Seq("lineitem", "orders"),
       s"bucketed-v1-b$buckets")
     val specs = Seq(
@@ -170,8 +176,14 @@ object LayoutOps {
         } else {
           s.sql(s"DROP TABLE IF EXISTS $t")
           if (fs.exists(loc)) fs.delete(loc, true)
+          // EXTERNAL (explicit path): the engine owns the files'
+          // lifecycle through the fingerprint marker, so a catalog
+          // drop must never take the one-time layout with it — that
+          // is what makes the cross-session re-register tier above
+          // possible (and testable) at all
           df.write.mode("overwrite")
             .bucketBy(buckets, key).sortBy(key)
+            .option("path", loc.toString)
             .saveAsTable(t)
           writeMarker(fs, marker, fp)
         }
@@ -196,7 +208,7 @@ object LayoutOps {
     * shuffle-free; decimal-exact sum cast to DOUBLE only at the output
     * edge so the hash compare sees one canonical rendering). */
   def bucketedOrderPriority(s: SparkSession, dir: String): DataFrame =
-    bucketedJoin(s, dir, buckets = 8)
+    bucketedJoin(s, dir, DefaultBuckets)
       .withColumn("sum_qty", col("sum_qty").cast("double"))
 
   val bucketedOrderPrioritySql: String =

@@ -464,7 +464,11 @@ object TextOps {
       .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_ratio")
   }
 
-  val boilerplateSql: String =
+  /** The `words`/`sh` shingle CTE pair shared by the boilerplate and
+    * contamination oracles — the index arithmetic (`range` end,
+    * 1-based inclusive slice) lives once, mirroring how the Scala
+    * side shares [[wordShingles]]. */
+  private def shingleCtes(n: Int): String =
     s"""WITH words AS (
        |  SELECT doc_id,
        |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
@@ -472,10 +476,14 @@ object TextOps {
        |  FROM documents
        |), sh AS (
        |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(ws) - ${BoilerShingleWords - 2}),
-       |      i -> array_to_string(ws[i:i+${BoilerShingleWords - 1}], ' '))) AS shingle
-       |  FROM words WHERE len(ws) >= $BoilerShingleWords
-       |), freq AS (
+       |    unnest(list_transform(range(1, len(ws) - ${n - 2}),
+       |      i -> array_to_string(ws[i:i+${n - 1}], ' '))) AS shingle
+       |  FROM words WHERE len(ws) >= $n
+       |)""".stripMargin
+
+  val boilerplateSql: String =
+    shingleCtes(BoilerShingleWords) +
+    s""", freq AS (
        |  SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
        |  FROM sh GROUP BY shingle
        |)
@@ -515,17 +523,8 @@ object TextOps {
   }
 
   val contaminationSql: String =
-    s"""WITH words AS (
-       |  SELECT doc_id,
-       |    list_filter(string_split_regex(lower(text), '[^a-z0-9]+'),
-       |      w -> w <> '') AS ws
-       |  FROM documents
-       |), sh AS (
-       |  SELECT doc_id,
-       |    unnest(list_transform(range(1, len(ws) - ${ContamShingleWords - 2}),
-       |      i -> array_to_string(ws[i:i+${ContamShingleWords - 1}], ' '))) AS shingle
-       |  FROM words WHERE len(ws) >= $ContamShingleWords
-       |), ev AS (
+    shingleCtes(ContamShingleWords) +
+    s""", ev AS (
        |  SELECT DISTINCT shingle FROM sh WHERE doc_id < $ContamEvalMaxId
        |)
        |SELECT s.doc_id,

@@ -113,12 +113,14 @@ class ExternalToolSpec extends SparkSpec {
     assert(res(0).out ==
       "http://10.0.0.1:3128,http://10.0.0.2:3128|" +
         "http://10.0.0.1:3128|http://10.0.0.1:3128")
-    // no proxies configured → the adapter leaves the environment alone
+    // no proxies configured → the adapter sets nothing of its own
+    // (only GRAFT_PROXIES is asserted: http_proxy may legitimately be
+    // inherited from the host environment on a proxied machine)
     val bare = ExternalTool
       .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
         reuseProcess = false))
       .collect()
-    assert(bare(0).ok && bare(0).out == "||")
+    assert(bare(0).ok && bare(0).out.split("\\|", -1)(0) == "")
   }
 
   test("q33 feature flag routes decode through the external tool") {

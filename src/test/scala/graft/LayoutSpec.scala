@@ -56,6 +56,42 @@ class LayoutSpec extends SparkSpec {
       Seq("1996-01")).count() > 0)
   }
 
+  test("bucketed tables survive a catalog drop: re-register points at " +
+      "the existing files, no rewrite, join still co-located") {
+    import org.apache.hadoop.fs.Path
+    LayoutOps.ensureBucketedTables(spark, sf0001)
+    val loc = new Path(spark.sessionState.conf.warehousePath,
+      "graft_li_bucketed")
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestDataMtime: Long = fs.listStatus(loc)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(_.getModificationTime).max
+    val before = newestDataMtime
+    // simulate the next session: in-memory catalog lost, files kept
+    // (the tables are EXTERNAL precisely so the drop spares the data)
+    spark.sql("DROP TABLE graft_li_bucketed")
+    spark.sql("DROP TABLE graft_o_bucketed")
+    assert(fs.exists(loc))
+    val q = LayoutOps.bucketedOrderPriority(spark, sf0001)
+    val got = q.collect().map(r =>
+      r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(newestDataMtime == before) // re-registered, not rewritten
+    // the re-registered table still joins shuffle-free...
+    val plan = q.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"))
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"))
+    // ...and correctly: totals equal the plain unbucketed join
+    val expect = Tables.lineitem(spark, sf0001)
+      .join(Tables.orders(spark, sf0001),
+        $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.Money.dec2($"l_quantity")).cast("double").as("s"))
+      .collect().map(r =>
+        r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == expect)
+  }
+
   test("salted count equals plain count for every key") {
     val ev = Tables.events(spark, sf0001)
     val salted = LayoutOps.saltedCount(ev, "event_type", 8)
