@@ -94,6 +94,8 @@ object SparkEntry {
         Some(StreamOps.streamIntervalJoinCountsSql)),
       ("q60_stream_file_windows", StreamOps.streamEventWindowFiles _,
         Some(StreamOps.streamEventWindowFilesSql)),
+      ("q64_stateful_counts", StreamOps.statefulUserEventCounts _,
+        Some(StreamOps.statefulUserEventCountsSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

@@ -243,6 +243,25 @@ object StreamOps {
       .where($"rn" === 1).drop("rn")
   }
 
+  /** q64 — [[statefulUserCounts]] as a driver-checkable query: the
+    * per-user event COUNTS from the flatMapGroupsWithState state
+    * store. Counts are order-insensitive, so the final state equals
+    * the batch aggregate no matter how the stream micro-batches; the
+    * running float sum deliberately stays OUT of the registered
+    * output — `total += v` accumulates in group-iterator order,
+    * which shuffle read order can vary run to run (the same reason
+    * q56 needed decimal sums). This row makes CORRECTNESS exercise
+    * the custom-state API, completing the streaming trio (q34
+    * windowed agg state, q59 join state, q64 arbitrary state). */
+  def statefulUserEventCounts(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    statefulUserCounts(s, dir).select($"user_id", $"n_events")
+  }
+
+  val statefulUserEventCountsSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Streaming first-seen dedup (D1/D2 as a continuous query,
     * SURVEY.md §2.9): watermarked dropDuplicates on the key columns.
     * State is bounded by the watermark horizon. Exercised by the
