@@ -227,6 +227,7 @@ class CrzSpec extends SparkSpec {
       keywordsTxt = s"$fx/keywords.txt",
       corpusDir = s"$fx/contracts_text",
       dictionaryDic = s"$fx/dictionary/sk_fixture.dic",
+      dictionaryAff = Some(s"$fx/dictionary/sk_fixture.aff"),
       params = CleanFilter.Params(minPrice = new java.math.BigDecimal("1000")),
       dictMinCount = 0L, // fixture corpus: every OOV word is rare
       tables = Some(Pipeline.TablesConfig(
@@ -244,6 +245,11 @@ class CrzSpec extends SparkSpec {
     assert(out.ranked.count() >= 1)
     assert(out.subjects.count() == 4)
     assert(out.minedWords.count() > 0)
+    // the .aff expansion rode through the facade: REP variants and
+    // flag-gated affix forms of dictionary words are not OOV, so the
+    // mined list can never contain e.g. the REP-covered 'nájomná'
+    assert(out.minedWords.where($"word".isin("nájomná", "zmluvy"))
+      .count() == 0)
     // 07→09 rode along in the same run: the facade's table outputs
     // agree with the directly-wired stage results asserted below
     val t = out.tables.get
