@@ -105,6 +105,19 @@ class DedupSimilaritySpec extends SparkSpec {
       $"bucket" >= SimilarityOps.QuantizerK).count() == 0)
   }
 
+  test("q56 Lloyd result is bit-identical under a different shuffle " +
+      "partitioning (decimal centroid sums are order-free)") {
+    def run(): Set[(Long, Long, Double)] =
+      SimilarityOps.annLloyd(spark, sf0001).collect()
+        .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("bucket"),
+          r.getAs[Double]("best_sim"))).toSet
+    val base = run()
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "5")
+    try assert(run() == base)
+    finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("exact dedup: canonical ids are fixpoints and group sizes >= 1") {
     val d = DedupOps.dedupExact(spark, sf0001)
     assert(d.where($"canonical_id" > $"doc_id").count() == 0)
