@@ -87,6 +87,8 @@ object SparkEntry {
       ("q62_det_split", TextOps.detSplit _, Some(TextOps.detSplitSql)),
       ("q63_salient_terms", TextOps.salientTerms _,
         Some(TextOps.salientTermsSql)),
+      ("q65_token_budget", TextOps.tokenBudget _,
+        Some(TextOps.tokenBudgetSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

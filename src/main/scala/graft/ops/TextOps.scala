@@ -626,6 +626,48 @@ object TextOps {
        |  FROM tf JOIN df USING (word)
        |) WHERE rn <= $SalientTopK""".stripMargin
 
+  /** q65 — token-budget mixing (the data-mixing stage of a
+    * pre-training pipeline): each language keeps documents, in a
+    * deterministic content-keyed order, until its token budget
+    * ([[BudgetTokensPerLang]]) is spent. Order is md5(doc_id) — the
+    * same reproducible shuffle q62's split uses, so the kept prefix
+    * is stable under corpus growth for already-seen docs and
+    * independent of physical layout; the cutoff is a running-sum
+    * window over exact integers (`ROWS UNBOUNDED PRECEDING` pinned on
+    * both engines so tie frames cannot differ).
+    *
+    * Scale shape: one shuffle on lang (the window partition key —
+    * language count is tiny, but per-lang data is large and the
+    * running sum streams in sort order, O(1) state per partition); a
+    * skewed lang would salt exactly like q49. Output: the kept set
+    * with its running token totals. */
+  val BudgetTokensPerLang = 3000L
+  def tokenBudget(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(split(trim($"text"), " +")).cast("long"))
+      .withColumn("ord", md5($"doc_id".cast("string")))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .where($"cum_tokens" <= BudgetTokensPerLang)
+      .select($"doc_id", $"lang", $"n_tokens", $"cum_tokens")
+  }
+
+  val tokenBudgetSql: String =
+    s"""SELECT doc_id, lang, n_tokens, cum_tokens FROM (
+       |  SELECT doc_id, lang,
+       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(SUM(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT))
+       |      OVER (PARTITION BY lang
+       |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM documents
+       |) WHERE cum_tokens <= $BudgetTokensPerLang""".stripMargin
+
   /** q58 — intra-document repetition ratio (the Gopher/RefinedWeb
     * top-n-gram quality rule): frequency of the single most repeated
     * word bigram over all bigram occurrences in the doc. One

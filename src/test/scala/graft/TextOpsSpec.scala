@@ -176,6 +176,51 @@ class TextOpsSpec extends SparkSpec {
     assert(top == Map(1L -> "apple", 2L -> "banana", 3L -> "cherry"))
   }
 
+  test("token budget keeps a per-lang prefix: under budget, maximal, " +
+      "and deterministic in md5 order") {
+    val kept = TextOps.tokenBudget(spark, sf0001).cache()
+    // every language truncates at this corpus size — both branches live
+    val langs = Tables.documents(spark, sf0001)
+      .select("lang").distinct().count()
+    assert(kept.select("lang").distinct().count() == langs)
+    assert(kept.count() > 0)
+    assert(kept.where($"cum_tokens" > TextOps.BudgetTokensPerLang)
+      .count() == 0)
+    // maximality: per lang, adding the NEXT doc in md5 order would
+    // break the budget ⇔ kept tokens + min dropped-doc tokens > budget
+    // (checked via the kept count vs a recomputed running sum)
+    val perLang = kept.groupBy($"lang")
+      .agg(org.apache.spark.sql.functions.max($"cum_tokens").as("used"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getAs[String]("lang") ->
+        (r.getAs[Long]("used"), r.getAs[Long]("n"))).toMap
+    val all = Tables.documents(spark, sf0001)
+      .withColumn("n_tokens", org.apache.spark.sql.functions
+        .size(org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.trim($"text"), " +")).cast("long"))
+      .withColumn("ord", org.apache.spark.sql.functions
+        .md5($"doc_id".cast("string")))
+      .select($"lang", $"ord", $"doc_id", $"n_tokens")
+      .collect()
+      .groupBy(_.getAs[String]("lang"))
+    all.foreach { case (lang, rows) =>
+      val sorted = rows.sortBy(r =>
+        (r.getAs[String]("ord"), r.getAs[Long]("doc_id")))
+      var cum = 0L; var n = 0L
+      sorted.foreach { r =>
+        cum += r.getAs[Long]("n_tokens")
+        if (cum <= TextOps.BudgetTokensPerLang) n += 1
+      }
+      val expectUsed = sorted.map(_.getAs[Long]("n_tokens"))
+        .scanLeft(0L)(_ + _).drop(1)
+        .takeWhile(_ <= TextOps.BudgetTokensPerLang)
+      assert(perLang(lang)._2 == n, s"lang $lang kept count")
+      assert(perLang(lang)._1 == expectUsed.last, s"lang $lang used")
+    }
+    kept.unpersist()
+  }
+
   test("repetition ratio is (0,1] and a fully-repeated doc scores 1") {
     val r = TextOps.repetition(spark, sf0001)
     assert(r.where($"rep_ratio" <= 0.0 || $"rep_ratio" > 1.0).count() == 0)
