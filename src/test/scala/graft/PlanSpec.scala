@@ -73,6 +73,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("GlobalLimit"))
   }
 
+  test("q65: budget cut is one lang-keyed window — a single exchange, " +
+      "no join") {
+    val plan = formatted(TextOps.tokenBudget(spark, sf0001))
+    assert(plan.contains("Window"))
+    assert(plan.split("Exchange").length - 1 <= 2) // 1 node × 2 prints
+    assert(!plan.contains("Join"))
+  }
+
   test("q04: contains-semijoin stays a broadcast NL semi join") {
     val plan = formatted(Relational.containsSemiJoin(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin"))
