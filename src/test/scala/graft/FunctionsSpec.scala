@@ -71,6 +71,51 @@ class FunctionsSpec extends SparkSpec {
     }
   }
 
+  test("property: naturalKey ordering equals Python's re.split list " +
+      "compare on random alphanumeric names") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // independent reimplementation of the reference semantics
+    // (04_convert_contracts_to_text.py:51-54): split into maximal
+    // digit/text runs, digits compare as ints, Python compares lists
+    // elementwise with shorter-prefix-first
+    def pyKey(s: String): Seq[Either[Long, String]] =
+      "[0-9]+|[^0-9]+".r.findAllIn(s.toLowerCase).map { run =>
+        if (run.forall(_.isDigit)) Left(BigInt(run).min(Long.MaxValue).toLong)
+        else Right(run)
+      }.toSeq
+    implicit val ord: Ordering[Seq[Either[Long, String]]] =
+      new Ordering[Seq[Either[Long, String]]] {
+        def compare(a: Seq[Either[Long, String]],
+            b: Seq[Either[Long, String]]): Int = {
+          a.zip(b).foreach { case (x, y) =>
+            val c = (x, y) match {
+              case (Left(i), Left(j)) => java.lang.Long.compare(i, j)
+              // maximal runs alternate: a type mismatch means one key
+              // has a digit run where the other has text — struct
+              // compare puts ('', n) before (run, -1) because '' < run
+              case (Left(_), Right(_)) => -1
+              case (Right(_), Left(_)) => 1
+              case (Right(u), Right(v)) => u.compareTo(v)
+            }
+            if (c != 0) return c
+          }
+          a.size.compareTo(b.size)
+        }
+      }
+    val gen = Gen.listOf(Gen.frequency(
+      6 -> Gen.oneOf('a', 'b', 'z'), 5 -> Gen.numChar,
+      1 -> Gen.oneOf('-', '_', '.'))).map(_.mkString)
+    val names = (1 to 250).map(_ => gen.sample.getOrElse(""))
+      .filter(_.nonEmpty).distinct
+    val expected = names.sortBy(n => (pyKey(n), n))
+    val got = names.toDF("source")
+      .withColumn("k", graft.ops.TextOps.naturalKey(col("source")))
+      .orderBy(col("k"), col("source"))
+      .select("source").as[String].collect().toSeq
+    assert(got == expected)
+  }
+
   test("property: field-wise recursive date compare equals timestamp >=") {
     // SURVEY.md §5.3 / §1.2: the reference's recursive Y/M/D/h/m/s
     // integer descent (02_filter_by_CIN.py:70-89) is equivalent to a
