@@ -114,11 +114,15 @@ object Dictionary {
     // a header is `KIND flag Y|N <count>` — possibly with a trailing
     // comment (`SFX 10 Y 1 # comparative`), which real-world .aff
     // files carry, so the test is shape-based (Y/N then digits, then
-    // nothing or a comment), not a bare token count
-    val isHeader = element_at(col("p"), 3).isin("Y", "N") &&
-      element_at(col("p"), 4).rlike("^[0-9]+$") &&
+    // nothing or a comment), not a bare token count. Positions 3-5 are
+    // probed with try_element_at: under ANSI a malformed line starting
+    // with SFX/PFX but carrying fewer tokens must read null (failing
+    // the shape test) rather than throw INVALID_ARRAY_INDEX and kill
+    // the whole load
+    val isHeader = try_element_at(col("p"), lit(3)).isin("Y", "N") &&
+      try_element_at(col("p"), lit(4)).rlike("^[0-9]+$") &&
       (size(col("p")) === 4 ||
-        element_at(col("p"), 5).rlike("^[#/]"))
+        try_element_at(col("p"), lit(5)).rlike("^[#/]"))
     val headers = toks
       .where(isHeader)
       .select(
@@ -140,16 +144,39 @@ object Dictionary {
       .withColumn("cross", coalesce(col("cross"), lit(false)))
   }
 
+  /** The `.aff` `FLAG` directive's value — `num`, `long`, `UTF-8` —
+    * or "char" (the classic one-character packing) when the directive
+    * is absent. Read from the directive, never guessed from flag
+    * shapes: a char-flag entry `word/12` means flags '1' and '2',
+    * which a digits-based heuristic would misread as one flag "12". */
+  def affFlagMode(s: org.apache.spark.sql.SparkSession,
+      path: String): String =
+    s.read.text(path)
+      .where(col("value").rlike("^FLAG\\s+\\S"))
+      .select(regexp_extract(col("value"), "^FLAG\\s+(\\S+)", 1))
+      .limit(1).collect().headOption.map(_.getString(0))
+      .getOrElse("char")
+
   /** True when the `.aff` declares `FLAG num` — entry flags are then
-    * comma-separated integers (`word/8,13`); otherwise the classic
-    * one-character-per-flag packing (`word/AB`) applies. Read from
-    * the directive, never guessed from flag shapes: a char-flag
-    * entry `word/12` means flags '1' and '2', which a digits-based
-    * heuristic would misread as one flag "12". */
+    * comma-separated integers (`word/8,13`); the classic
+    * one-character-per-flag packing (`word/AB`) and `FLAG UTF-8`
+    * (still one character per flag, just any unicode char) read
+    * false. `FLAG long` (TWO characters per flag) fits neither
+    * parser: per-character splitting would silently misparse EVERY
+    * flag and mis-gate the whole affix expansion, so it fails loudly
+    * here instead (documented in COVERAGE.md; callers wanting the
+    * over-approximation can run [[expandWithAffixes]] with
+    * `flagAware = false`, which never reads flags). */
   def affUsesNumFlags(s: org.apache.spark.sql.SparkSession,
-      path: String): Boolean =
-    s.read.text(path).where(col("value").rlike("^FLAG\\s+num\\b"))
-      .limit(1).count() > 0
+      path: String): Boolean = affFlagMode(s, path) match {
+    case "num" => true
+    case "long" => throw new IllegalArgumentException(
+      "FLAG long (two-character flags) is unsupported: per-character " +
+        "flag splitting would misparse every flag. Use flagAware = " +
+        "false for the flag-blind over-approximation, or convert the " +
+        "dictionary to FLAG num.")
+    case _ => false
+  }
 
   /** Hunspell affix morphology (F22, the SFX/PFX half REP expansion
     * left open): expand the wordlist with every single-rule affix

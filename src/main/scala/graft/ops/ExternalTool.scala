@@ -52,24 +52,31 @@ object ExternalTool {
     * @param reuseProcess one worker per partition vs one per record
     * @param proxies   proxy URLs for network-bound tools (the S15
     *   seam of reference proxyhandler.py:15-44): exported to the tool
-    *   as `GRAFT_PROXIES` (comma-joined, rotation is the tool's
-    *   choice — per-ATTEMPT rotation belongs to
+    *   as `GRAFT_PROXIES` (comma-joined, for tools that rotate
+    *   themselves; per-ATTEMPT rotation belongs to
     *   [[graft.crz.Retry.retryRotating]]) plus the conventional
-    *   `http_proxy`/`https_proxy` pair set to the first entry, which
-    *   curl/wget-style fetchers honor without any flag plumbing. The
-    *   network side stays external by contract — the engine only
-    *   carries the configuration to the seam. */
+    *   `http_proxy`/`https_proxy` pair, which curl/wget-style fetchers
+    *   honor without any flag plumbing. The conventional pair ROTATES
+    *   per spawn — per-record mode seeds the choice with the record
+    *   id, worker mode with partition id advanced on every respawn —
+    *   so concurrent workers spread across the list and a
+    *   timeout-killed worker's replacement tries the next proxy, all
+    *   without tool cooperation. The network side stays external by
+    *   contract — the engine only carries the configuration to the
+    *   seam. */
   final case class ToolConf(command: Seq[String], timeoutMs: Long = 10000L,
       reuseProcess: Boolean = true, proxies: Seq[String] = Nil)
 
-  private def spawn(conf: ToolConf): Process = {
+  private def spawn(conf: ToolConf, proxySeed: Long): Process = {
     val pb = new ProcessBuilder(conf.command.asJava)
       .redirectErrorStream(true)
     if (conf.proxies.nonEmpty) {
       val env = pb.environment()
       env.put("GRAFT_PROXIES", conf.proxies.mkString(","))
-      env.put("http_proxy", conf.proxies.head)
-      env.put("https_proxy", conf.proxies.head)
+      val n = conf.proxies.size
+      val chosen = conf.proxies((((proxySeed % n) + n) % n).toInt)
+      env.put("http_proxy", chosen)
+      env.put("https_proxy", chosen)
     }
     pb.start()
   }
@@ -109,7 +116,9 @@ object ExternalTool {
   private def runOnce(id: Long, payload: String, conf: ToolConf): ToolResult = {
     var proc: Process = null
     try {
-      proc = spawn(conf)
+      // record id seeds the proxy choice: per-record processes walk
+      // the list deterministically instead of all pinning .head
+      proc = spawn(conf, id)
       val pid = proc.pid()
       val in = proc.getInputStream
       val w = proc.getOutputStream
@@ -153,6 +162,12 @@ object ExternalTool {
     private var reader: java.io.BufferedReader = _
     private var writer: java.io.BufferedWriter = _
     private var closed = false
+    // proxy rotation seed: partition id spreads concurrent workers
+    // across the list; incremented per respawn so the replacement of
+    // a timed-out worker tries the NEXT proxy, not the same one
+    private var spawns = 0
+    private val partSeed: Long =
+      Option(TaskContext.get()).map(_.partitionId().toLong).getOrElse(0L)
 
     // a limit(n)/take/downstream exception abandons this iterator
     // without draining it — the task-completion hook still reaps the
@@ -163,7 +178,8 @@ object ExternalTool {
     private def ensureWorker(): Unit =
       if (proc == null || !proc.isAlive) {
         kill()
-        proc = spawn(conf)
+        proc = spawn(conf, partSeed + spawns)
+        spawns += 1
         reader = new java.io.BufferedReader(
           new java.io.InputStreamReader(proc.getInputStream, "UTF-8"))
         writer = new java.io.BufferedWriter(

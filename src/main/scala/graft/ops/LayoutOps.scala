@@ -45,7 +45,18 @@ object LayoutOps {
     * query is then the pruned/co-located READ the layout exists for,
     * exactly as a real deployment that pays the write once. Files
     * starting with `_` are invisible to Spark's file index, so the
-    * marker never pollutes the table itself. */
+    * marker never pollutes the table itself.
+    *
+    * Staleness contract (make-style, documented limitation): the
+    * fingerprint is metadata-only. A source file regenerated with
+    * IDENTICAL byte length within the filesystem's mtime granularity
+    * (1 s on many local filesystems, coarser on some object stores)
+    * matches the marker and the stale layout is reused. That window
+    * is acceptable here because testdata regeneration rewrites whole
+    * parquet directories (part-file names embed fresh UUIDs, so the
+    * `name` component changes); a deployment needing content-level
+    * certainty should add a footer checksum to the tag or simply
+    * delete the layout dir to force a rebuild. */
   private def sourceFingerprint(s: SparkSession, dir: String,
       tables: Seq[String], tag: String): String = {
     val conf = s.sparkContext.hadoopConfiguration

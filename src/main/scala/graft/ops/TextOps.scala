@@ -454,14 +454,25 @@ object TextOps {
     val sh = wordShingles(s, dir, BoilerShingleWords)
     val freq = sh.groupBy($"shingle")
       .agg(countDistinct($"doc_id").as("n_docs"))
-    sh.join(freq, "shingle")
+    val rolled = sh.join(freq, "shingle")
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_shingles"),
         sum(when($"n_docs" >= BoilerMinDocs, 1L).otherwise(0L))
           .as("n_boiler"))
       .withColumn("boiler_ratio",
         $"n_boiler".cast("double") / $"n_shingles".cast("double"))
-      .select($"doc_id", $"n_shingles", $"n_boiler", $"boiler_ratio")
+    // row-set contract: EVERY document appears in the report — a doc
+    // shorter than the shingle width has no positions to score and is
+    // emitted as (0, 0, null), not silently dropped (a downstream
+    // keep/drop consumer joining on this report must see all docs).
+    // The left join is doc-count-sized on both sides — no new wide
+    // shuffle at scale.
+    Tables.documents(s, dir).select($"doc_id")
+      .join(rolled, Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"n_shingles", lit(0L)).as("n_shingles"),
+        coalesce($"n_boiler", lit(0L)).as("n_boiler"),
+        $"boiler_ratio")
   }
 
   /** The `words`/`sh` shingle CTE pair shared by the boilerplate and
@@ -486,14 +497,20 @@ object TextOps {
     s""", freq AS (
        |  SELECT shingle, COUNT(DISTINCT doc_id) AS n_docs
        |  FROM sh GROUP BY shingle
+       |), rolled AS (
+       |  SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
+       |    CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+       |         AS BIGINT) AS n_boiler,
+       |    CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
+       |         AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+       |  FROM sh s JOIN freq f USING (shingle)
+       |  GROUP BY s.doc_id
        |)
-       |SELECT s.doc_id, CAST(COUNT(*) AS BIGINT) AS n_shingles,
-       |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
-       |       AS BIGINT) AS n_boiler,
-       |  CAST(SUM(CASE WHEN f.n_docs >= $BoilerMinDocs THEN 1 ELSE 0 END)
-       |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
-       |FROM sh s JOIN freq f USING (shingle)
-       |GROUP BY s.doc_id""".stripMargin
+       |SELECT d.doc_id,
+       |  CAST(COALESCE(r.n_shingles, 0) AS BIGINT) AS n_shingles,
+       |  CAST(COALESCE(r.n_boiler, 0) AS BIGINT) AS n_boiler,
+       |  r.boiler_ratio
+       |FROM documents d LEFT JOIN rolled r USING (doc_id)""".stripMargin
 
   /** q61 — benchmark decontamination (the GPT-3/PaLM n-gram overlap
     * rule of an LLM ingest pipeline): a training document sharing any

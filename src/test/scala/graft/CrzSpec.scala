@@ -463,6 +463,34 @@ class CrzSpec extends SparkSpec {
       .select("known").as[Boolean].head())
   }
 
+  test("F22 .aff robustness: truncated SFX lines are ignored (not an " +
+      "ANSI error) and FLAG long fails loudly, FLAG UTF-8 does not") {
+    def tmpAff(lines: String*): String = {
+      val f = java.nio.file.Files.createTempFile("graft_aff", ".aff")
+      java.nio.file.Files.write(f,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      f.toString
+    }
+    // a malformed line starting with SFX but carrying fewer than 4
+    // tokens must be skipped by the shape test, not explode the load
+    // with INVALID_ARRAY_INDEX under ANSI mode
+    val rules = Dictionary.loadAffixRules(spark, tmpAff(
+      "SFX 8 Y 1", "SFX 8 a y a", "SFX 8", "PFX oops"))
+    assert(rules.count() == 1)
+    assert(rules.where($"flag" === "8" && $"cross").count() == 1)
+    // FLAG long = two-char flags: neither parser fits — per-character
+    // splitting would silently mis-gate every rule, so it must throw
+    val ex = intercept[IllegalArgumentException] {
+      Dictionary.affUsesNumFlags(spark, tmpAff("FLAG long"))
+    }
+    assert(ex.getMessage.contains("FLAG long"))
+    // UTF-8 flags are still one character per flag → char mode
+    assert(!Dictionary.affUsesNumFlags(spark, tmpAff("FLAG UTF-8")))
+    assert(Dictionary.affUsesNumFlags(spark, tmpAff("FLAG num")))
+    assert(Dictionary.affFlagMode(spark, tmpAff("SET UTF-8")) == "char")
+  }
+
   test("S15 retry envelope: reference schedule (6 tries, 3s, 2x), " +
       "recovery, exhaustion, non-retryable passthrough") {
     assert(Retry.schedule(Retry.Policy())

@@ -101,18 +101,24 @@ class ExternalToolSpec extends SparkSpec {
     assert(!proc.exists, "worker process leaked past task completion")
   }
 
-  test("ToolConf.proxies exports GRAFT_PROXIES and the conventional " +
-      "http(s)_proxy pair to the tool environment") {
-    val ds = Seq((1L, "ping")).toDS().coalesce(1)
+  test("ToolConf.proxies exports GRAFT_PROXIES and rotates the " +
+      "conventional http(s)_proxy pair per spawn") {
+    // per-record mode seeds the proxy choice with the record id:
+    // id 2 → proxies(0), id 3 → proxies(1) — spawns spread across
+    // the list instead of all pinning .head
+    val ds = Seq((2L, "ping"), (3L, "pong")).toDS().coalesce(1)
     val res = ExternalTool
       .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
         reuseProcess = false,
         proxies = Seq("http://10.0.0.1:3128", "http://10.0.0.2:3128")))
-      .collect()
-    assert(res(0).ok)
+      .collect().sortBy(_.id)
+    assert(res.forall(_.ok))
     assert(res(0).out ==
       "http://10.0.0.1:3128,http://10.0.0.2:3128|" +
         "http://10.0.0.1:3128|http://10.0.0.1:3128")
+    assert(res(1).out ==
+      "http://10.0.0.1:3128,http://10.0.0.2:3128|" +
+        "http://10.0.0.2:3128|http://10.0.0.2:3128")
     // no proxies configured → the adapter sets nothing of its own
     // (only GRAFT_PROXIES is asserted: http_proxy may legitimately be
     // inherited from the host environment on a proxied machine)

@@ -92,15 +92,23 @@ class TextOpsSpec extends SparkSpec {
       (1L, s"$shared over a lazy dog"),
       (2L, s"$shared under a red fence"),
       (3L, s"$shared beside a tall tree"),
-      (4L, "entirely different words live in this document here"))
+      (4L, "entirely different words live in this document here"),
+      (5L, "too short"))
       .toDF("doc_id", "text")
     val tmp = java.nio.file.Files.createTempDirectory("boiler").toString
     docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
     val b = TextOps.boilerplate(spark, tmp)
     val byDoc = b.collect().map(r =>
-      r.getAs[Long]("doc_id") -> r.getAs[Long]("n_boiler")).toMap
-    assert(byDoc(1L) > 0 && byDoc(2L) > 0 && byDoc(3L) > 0)
-    assert(byDoc(4L) == 0L)
+      r.getAs[Long]("doc_id") -> r).toMap
+    assert(byDoc(1L).getAs[Long]("n_boiler") > 0)
+    assert(byDoc(2L).getAs[Long]("n_boiler") > 0)
+    assert(byDoc(3L).getAs[Long]("n_boiler") > 0)
+    assert(byDoc(4L).getAs[Long]("n_boiler") == 0L)
+    // full-coverage row-set contract: a doc shorter than the shingle
+    // width still appears — (0, 0, null), never silently dropped
+    assert(byDoc(5L).getAs[Long]("n_shingles") == 0L)
+    assert(byDoc(5L).getAs[Long]("n_boiler") == 0L)
+    assert(byDoc(5L).isNullAt(byDoc(5L).fieldIndex("boiler_ratio")))
   }
 
   test("contamination flags corpus docs sharing an eval 8-gram and " +
