@@ -57,7 +57,8 @@ object SparkEntry {
       ("q30_event_windows", StatsOps.eventWindows _, Some(StatsOps.eventWindowsSql)),
       ("q31_json_props", StatsOps.jsonProps _, Some(StatsOps.jsonPropsSql)),
       ("q32_binary_meta", MultimodalOps.binaryMeta _, Some(MultimodalOps.binaryMetaSql)),
-      ("q33_media_features", MultimodalOps.mediaFeatures _, None),
+      ("q33_media_features", MultimodalOps.mediaFeatures _,
+        Some(MultimodalOps.mediaFeaturesSql)),
       ("q34_stream_windows", StreamOps.streamEventWindows _, Some(StreamOps.streamEventWindowsSql)),
       ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
       ("q38_sessionize", StatsOps.sessionize _, Some(StatsOps.sessionizeSql)),
@@ -80,6 +81,8 @@ object SparkEntry {
         Some(DedupOps.simhash64PairsSql)),
       ("q55_ann_multiprobe", SimilarityOps.annMultiProbe _,
         Some(SimilarityOps.annMultiProbeSql)),
+      ("q66_ann_recall", SimilarityOps.annRecall _,
+        Some(SimilarityOps.annRecallSql)),
       ("q57_boilerplate", TextOps.boilerplate _, Some(TextOps.boilerplateSql)),
       ("q58_repetition", TextOps.repetition _, Some(TextOps.repetitionSql)),
       ("q61_contamination", TextOps.contamination _,

@@ -96,16 +96,21 @@ object Dictionary {
   }
 
   /** Parse the SFX/PFX blocks of a hunspell `.aff` file into
-    * (kind, flag, strip, append, cond, cross) rows. A rule line has
-    * five fields — `SFX 8 a y a` = flag 8, strip `a`, append `y`,
+    * (kind, flag, strip, append, cond, cross, cont) rows. A rule line
+    * has five fields — `SFX 8 a y a` = flag 8, strip `a`, append `y`,
     * condition `a` (a regex fragment matched at the word END for SFX,
     * START for PFX; `.` = always) — while the block header
     * (`SFX 8 Y 1`) carries the cross-product flag (`Y` = this block's
     * rules may combine with a cross-product PFX/SFX partner, see
     * [[expandWithAffixes]]) and the rule count. `0` means an empty
     * strip/append; continuation classes after `/` in the append field
-    * are dropped. sk_SK.aff (reference Dicts/sk_SK.aff) carries 6 586
-    * SFX + 1 556 PFX rules in this shape, numeric flags (`FLAG num`). */
+    * (`SFX 1 0 able/2 .` — the derived form then carries flag 2 and
+    * may take a second affix) land in `cont`, consumed by
+    * [[expandWithAffixes]]'s two-step chain. sk_SK.aff (reference
+    * Dicts/sk_SK.aff) carries 6 586 SFX + 1 556 PFX rules in this
+    * shape, numeric flags (`FLAG num`), and zero continuation
+    * classes (grep-verified — the chain is vacuous on the
+    * reference's own dictionaries). */
   def loadAffixRules(s: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val toks = s.read.text(path)
@@ -139,6 +144,8 @@ object Dictionary {
         when(element_at(col("p"), 4) === "0", "")
           .otherwise(substring_index(element_at(col("p"), 4), "/", 1))
           .as("append"),
+        when(element_at(col("p"), 4).contains("/"),
+          substring_index(element_at(col("p"), 4), "/", -1)).as("cont"),
         element_at(col("p"), 5).as("cond"))
       .join(headers, Seq("kind", "flag"), "left")
       .withColumn("cross", coalesce(col("cross"), lit(false)))
@@ -148,14 +155,26 @@ object Dictionary {
     * or "char" (the classic one-character packing) when the directive
     * is absent. Read from the directive, never guessed from flag
     * shapes: a char-flag entry `word/12` means flags '1' and '2',
-    * which a digits-based heuristic would misread as one flag "12". */
+    * which a digits-based heuristic would misread as one flag "12".
+    *
+    * Hunspell allows at most ONE FLAG directive per .aff; repeated
+    * identical lines are tolerated (they change nothing), but
+    * CONFLICTING directives fail loudly — a `limit(1)` pick would
+    * silently depend on scan order (which Spark does not guarantee
+    * across partitions) and could flip the flag parser between runs
+    * (ADVICE r6). */
   def affFlagMode(s: org.apache.spark.sql.SparkSession,
-      path: String): String =
-    s.read.text(path)
+      path: String): String = {
+    val modes = s.read.text(path)
       .where(col("value").rlike("^FLAG\\s+\\S"))
       .select(regexp_extract(col("value"), "^FLAG\\s+(\\S+)", 1))
-      .limit(1).collect().headOption.map(_.getString(0))
-      .getOrElse("char")
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (modes.size > 1)
+      throw new IllegalArgumentException(
+        s"conflicting FLAG directives in $path: ${modes.sorted.mkString(", ")} " +
+          "— hunspell allows at most one; fix the .aff")
+    modes.headOption.getOrElse("char")
+  }
 
   /** True when the `.aff` declares `FLAG num` — entry flags are then
     * comma-separated integers (`word/8,13`); the classic
@@ -198,12 +217,27 @@ object Dictionary {
     * both sit in cross-product blocks (header flag `Y`) and the word
     * carries both flags, the prefix applies to the suffixed form too
     * ('lacna/10,1' → 'lacnejsia' → 'najlacnejsia'); a `N` block never
-    * combines. Remaining delta vs full hunspell (COVERAGE.md):
-    * continuation classes (two-step affix chains) are not applied.
+    * combines.
+    *
+    * Continuation classes (two-step chains, hunspell's other
+    * composition mechanism): a rule whose append carries `/flags`
+    * (`SFX 1 0 able/2 .`) gives its DERIVED form those flags, and the
+    * form takes one more flag-gated affix pass (`work/1` → `workable`
+    * → `workableness` when flag 2 appends `ness`). Hunspell itself
+    * stops at this depth (one continuation level), so the chain is
+    * exact, not truncated. Flag-gated by nature, so it only runs in
+    * `flagAware` mode — in the flag-blind over-approximation every
+    * rule already applies to every word and a second blind pass would
+    * manufacture forms no flag path licenses. Vacuous on the
+    * reference's own sk_SK.aff (zero `/flags` appends, grep-verified
+    * — COVERAGE.md), pinned by a synthetic-fixture spec.
+    *
     * Cost note: dimension-side only, wordlist × matching rules once
     * before broadcast; flag-aware expansion is |dic| ×
-    * avg-flags-per-word, the flag-blind mode is |dic| × |rules| and
-    * is meant for small wordlists. */
+    * avg-flags-per-word (the continuation pass only re-feeds forms
+    * whose rule declared a class — zero rows for sk_SK.aff), the
+    * flag-blind mode is |dic| × |rules| and is meant for small
+    * wordlists. */
   def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
       flagAware: Boolean = true,
       numericFlags: Boolean = true): DataFrame = {
@@ -224,17 +258,32 @@ object Dictionary {
       applyAffixRules(base, sfx.where(col("cross")), flagAware,
         numericFlags),
       pfx.where(col("cross")), flagAware, numericFlags)
-    base.select("word")
-      .union(suffixed.select("word"))
-      .union(prefixed.select("word"))
-      .union(crossed.select("word"))
+    // two-step chains: forms whose rule carried a continuation class
+    // re-enter one more pass with the CLASS as their flags (stem
+    // flags no longer apply — hunspell gates the second affix on the
+    // continuation flags alone)
+    val chained =
+      if (!flagAware) Seq.empty[DataFrame]
+      else {
+        val contForms = suffixed.union(prefixed)
+          .where(col("cont").isNotNull)
+          .select(col("word"), col("cont").as("flags"))
+        Seq(applyAffixRules(contForms, affixRules, flagAware = true,
+          numericFlags))
+      }
+    (Seq(base, suffixed, prefixed, crossed) ++ chained)
+      .map(_.select("word"))
+      .reduce(_ union _)
       .distinct()
   }
 
   /** One strip/append pass of `rules` over `words` (word, flags):
     * gate on the word's flags, test the rule condition at the
     * affected edge, emit the derived form still carrying the source
-    * word's flags (so cross products can re-gate on the stem). */
+    * word's flags (so cross products can re-gate on the stem) plus
+    * the applied RULE's continuation flags in `cont` (so
+    * [[expandWithAffixes]] can run the two-step chain on forms whose
+    * rule declared one). */
   private def applyAffixRules(words: DataFrame, rules: DataFrame,
       flagAware: Boolean, numericFlags: Boolean): DataFrame = {
     // FLAG num dictionaries list flags as comma-separated integers;
@@ -242,7 +291,7 @@ object Dictionary {
     val flagArr =
       if (numericFlags) split(col("flags"), ",")
       else split(col("flags"), "")
-    words.crossJoin(broadcast(rules))
+    words.select(col("word"), col("flags")).crossJoin(broadcast(rules))
       .where(
         if (flagAware) array_contains(flagArr, col("flag"))
         else lit(true))
@@ -262,7 +311,7 @@ object Dictionary {
           .otherwise(concat(col("append"),
             expr("substring(word, length(strip) + 1)")))
           .as("word"),
-        col("flags"))
+        col("flags"), col("cont"))
   }
 
   /** F22 — spell(word): broadcast-set membership column (used by the

@@ -57,9 +57,14 @@ object ExternalTool {
     *   [[graft.crz.Retry.retryRotating]]) plus the conventional
     *   `http_proxy`/`https_proxy` pair, which curl/wget-style fetchers
     *   honor without any flag plumbing. The conventional pair ROTATES
-    *   per spawn — per-record mode seeds the choice with the record
-    *   id, worker mode with partition id advanced on every respawn —
-    *   so concurrent workers spread across the list and a
+    *   per spawn — per-record mode seeds the choice with the MIXED
+    *   record id ([[mixSeed]]: raw `id % n` pins stride- or
+    *   parity-correlated id patterns, e.g. all-even ids with 2
+    *   proxies, to one entry), worker mode with the mixed partition
+    *   id advanced LINEARLY on every respawn (the +1 is after the
+    *   mix, so the replacement of a timed-out worker is guaranteed
+    *   the next proxy, never a hash collision back onto the same
+    *   one) — so concurrent workers spread across the list and a
     *   timeout-killed worker's replacement tries the next proxy, all
     *   without tool cooperation. The network side stays external by
     *   contract — the engine only carries the configuration to the
@@ -67,14 +72,25 @@ object ExternalTool {
   final case class ToolConf(command: Seq[String], timeoutMs: Long = 10000L,
       reuseProcess: Boolean = true, proxies: Seq[String] = Nil)
 
-  private def spawn(conf: ToolConf, proxySeed: Long): Process = {
+  /** Fibonacci-hash seed mixer for proxy rotation: correlated id
+    * patterns (all even, fixed stride) must still spread across the
+    * proxy list, which a bare `id % n` does not do. Exposed to the
+    * spec so expectations derive from the same function. */
+  private[graft] def mixSeed(x: Long): Long =
+    java.lang.Long.hashCode(x * 0x9E3779B97F4A7C15L).toLong
+
+  /** `position` is a ROTATION POSITION, not a raw seed: callers mix
+    * ids/partition ids through [[mixSeed]] first, and worker respawns
+    * add their spawn count AFTER the mix so "next spawn → next proxy"
+    * stays literal. */
+  private def spawn(conf: ToolConf, position: Long): Process = {
     val pb = new ProcessBuilder(conf.command.asJava)
       .redirectErrorStream(true)
     if (conf.proxies.nonEmpty) {
       val env = pb.environment()
       env.put("GRAFT_PROXIES", conf.proxies.mkString(","))
       val n = conf.proxies.size
-      val chosen = conf.proxies((((proxySeed % n) + n) % n).toInt)
+      val chosen = conf.proxies((((position % n) + n) % n).toInt)
       env.put("http_proxy", chosen)
       env.put("https_proxy", chosen)
     }
@@ -116,9 +132,10 @@ object ExternalTool {
   private def runOnce(id: Long, payload: String, conf: ToolConf): ToolResult = {
     var proc: Process = null
     try {
-      // record id seeds the proxy choice: per-record processes walk
-      // the list deterministically instead of all pinning .head
-      proc = spawn(conf, id)
+      // the MIXED record id seeds the proxy choice: per-record
+      // processes spread deterministically across the list even when
+      // ids are parity- or stride-correlated (ADVICE r6)
+      proc = spawn(conf, mixSeed(id))
       val pid = proc.pid()
       val in = proc.getInputStream
       val w = proc.getOutputStream
@@ -162,12 +179,14 @@ object ExternalTool {
     private var reader: java.io.BufferedReader = _
     private var writer: java.io.BufferedWriter = _
     private var closed = false
-    // proxy rotation seed: partition id spreads concurrent workers
-    // across the list; incremented per respawn so the replacement of
-    // a timed-out worker tries the NEXT proxy, not the same one
+    // proxy rotation: the MIXED partition id spreads concurrent
+    // workers across the list (correlated partition ids spread like
+    // correlated record ids); the spawn count is added AFTER the mix
+    // so a respawned worker is guaranteed the NEXT proxy — mixing the
+    // sum instead could hash two consecutive spawns onto the same one
     private var spawns = 0
-    private val partSeed: Long =
-      Option(TaskContext.get()).map(_.partitionId().toLong).getOrElse(0L)
+    private val partSeed: Long = mixSeed(
+      Option(TaskContext.get()).map(_.partitionId().toLong).getOrElse(0L))
 
     // a limit(n)/take/downstream exception abandons this iterator
     // without draining it — the task-completion hook still reaps the

@@ -61,9 +61,10 @@ object MultimodalOps {
   }
 
   /** q33 — multimodal feature extraction: documents→binary payloads →
-    * per-partition decode → typed feature rows. Not SQL-expressible
-    * (the decode is executor code), so the driver records the weaker
-    * rows-only check for it.
+    * per-partition decode → typed feature rows. The measured
+    * (stub-decode) configuration is deterministic byte arithmetic, so
+    * it carries a full DuckDB oracle ([[mediaFeaturesSql]]) despite
+    * the decode living in executor code.
     *
     * Feature flag `spark.graft.media.cmd` (argv, whitespace-split;
     * optional `spark.graft.media.timeoutMs`, default 10 000 — the
@@ -117,6 +118,45 @@ object MultimodalOps {
       .select($"doc_id", $"media_type", $"n_bytes", $"mean_byte",
         $"width", $"height", element_at($"histogram", 1).as("hist_bin0"))
   }
+
+  /** DuckDB twin of [[mediaFeatures]] in its measured (stub-decode)
+    * configuration — what upgrades q33 from rows-only to a full
+    * rows+schema+hash CORRECTNESS row (VERDICT r6 #4). The stub is
+    * pure byte arithmetic over the UTF-8 payload, so it mirrors
+    * exactly in SQL: `hex(encode(text))` exposes the payload bytes,
+    * a `strpos`-against-'0123456789ABCDEF' pair decodes each one, and
+    * mean/width/height/histogram follow. The integer byte sum stays
+    * exact (≤ 255·n ≪ 2^53), so `CAST(sum AS DOUBLE) / CAST(n AS
+    * DOUBLE)` is the same single IEEE division [[decodeStub]]
+    * performs. The external-CLI path (`spark.graft.media.cmd`) has no
+    * SQL twin by design — its output is whatever the tool prints —
+    * and stays covered by ExternalToolSpec. */
+  val mediaFeaturesSql: String =
+    """WITH b AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0 THEN 'image' ELSE 'audio' END
+      |      AS media_type,
+      |    hex(encode(text)) AS hx,
+      |    octet_length(encode(text)) AS n
+      |  FROM documents
+      |), v AS (
+      |  SELECT doc_id, media_type, n,
+      |    list_transform(range(1, n + 1), i ->
+      |      (strpos('0123456789ABCDEF',
+      |         substr(hx, CAST(i*2-1 AS INT), 1)) - 1) * 16
+      |      + (strpos('0123456789ABCDEF',
+      |           substr(hx, CAST(i*2 AS INT), 1)) - 1)) AS bytes
+      |  FROM b
+      |)
+      |SELECT doc_id, media_type, CAST(n AS BIGINT) AS n_bytes,
+      |  CASE WHEN n = 0 THEN 0.0
+      |       ELSE CAST(list_sum(bytes) AS DOUBLE) / CAST(n AS DOUBLE)
+      |  END AS mean_byte,
+      |  CAST(16 + n % 64 AS INT) AS width,
+      |  CAST(16 + n % 48 AS INT) AS height,
+      |  CAST(len(list_filter(bytes, x -> x < 16)) AS BIGINT)
+      |    AS hist_bin0
+      |FROM v""".stripMargin
 
   /** q32 — binary-column metadata (the pure-relational face of the
     * multimodal table: byte length, checksum, leading byte — all

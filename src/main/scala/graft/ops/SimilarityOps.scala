@@ -408,6 +408,112 @@ object SimilarityOps {
        |SELECT vec_id, bucket, best_sim FROM a2""".stripMargin
   }
 
+  /** Per-method recall floors q66 asserts. Measured recall@3 is
+    * sf-stable (quantized 0.261/0.279/0.261, multi-probe
+    * 0.435/0.466/0.451 at sf0.001/0.01/0.1) — the untrained 8-seed
+    * coarse quantizer is honestly mediocre at GLOBAL top-3 recall;
+    * what the floors catch is a broken assignment or pair join, which
+    * craters recall to ~1/K ≈ 0.12 (random bucketing) or 0. The gap
+    * between the two floors also pins the multi-probe claim: probing
+    * 2 centroids must buy real recall over probing 1. */
+  val RecallFloorQuantized = 0.25
+  val RecallFloorMultiProbe = 0.40
+
+  /** q66 — the ANN recall assertion (VERDICT r6 #3): recall@3 of the
+    * real-quantizer IVF (q51) and its multi-probe variant (q55)
+    * against the brute-force ground truth (q24's all-pairs ranking at
+    * k = 3). This query is what DEMOTES q24 from the measured bench:
+    * the O(n²) baseline's one production job — grounding the ANN
+    * family — becomes a checked assertion (`pass` must be true, spec-
+    * pinned and oracle-matched) instead of a permanent bench tax.
+    *
+    * Counting shape: ground truth is computed once per method row and
+    * consumed in a SINGLE left-join aggregation (total = truth rows,
+    * hits = matched rows), so recall is one exact integer pair and
+    * one IEEE division — bit-identical in DuckDB. Excluded from the
+    * measured bench for the same reason q24 is: it embeds the
+    * all-pairs truth. */
+  def annRecall(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    def row(method: String, floor: Double, approx: DataFrame): DataFrame =
+      pairsTopK(s, dir, sameLabelOnly = false, k = 3)
+        .select($"vec_id", $"neighbor_id")
+        .join(approx.select($"vec_id", $"neighbor_id",
+          lit(1).as("hit")), Seq("vec_id", "neighbor_id"), "left")
+        .agg(count(lit(1)).as("total"), count($"hit").as("hits"))
+        .select(lit(method).as("method"), $"hits", $"total",
+          ($"hits".cast("double") / $"total".cast("double")).as("recall"),
+          lit(floor).as("floor"))
+    row("ivf_quantized", RecallFloorQuantized, annQuantized(s, dir))
+      .union(row("ivf_multiprobe", RecallFloorMultiProbe,
+        annMultiProbe(s, dir)))
+      .withColumn("pass", $"recall" >= $"floor")
+  }
+
+  /** DuckDB twin of [[annRecall]]: one flat WITH sharing the ranked-
+    * centroid CTE between the q51 assignment (r = 1) and the q55
+    * probe set (r <= 2); truth/approx sets are the q24/q51/q55 oracle
+    * bodies verbatim, the recall row is a left-join COUNT pair and a
+    * single division. */
+  val annRecallSql: String = {
+    val fold = (a: String, b: String) =>
+      s"""list_reduce(list_transform(list_zip($a, $b),
+         |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+         |      (acc, x) -> acc + x)""".stripMargin
+    def top3(from: String): String =
+      s"""SELECT vec_id, neighbor_id FROM (
+         |  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+         |      ${fold("a.embedding", "b.embedding")} / (a.nrm * b.nrm) DESC,
+         |      b.vec_id) AS rn
+         |  $from
+         |) WHERE rn <= 3""".stripMargin
+    def recallRow(method: String, floor: Double, approx: String): String =
+      s"""SELECT '$method' AS method,
+         |  CAST(COUNT(a.vec_id) AS BIGINT) AS hits,
+         |  CAST(COUNT(*) AS BIGINT) AS total,
+         |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    AS recall,
+         |  CAST($floor AS DOUBLE) AS floor,
+         |  CAST(COUNT(a.vec_id) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+         |    >= $floor AS pass
+         |FROM truth t LEFT JOIN $approx a
+         |  ON t.vec_id = a.vec_id AND t.neighbor_id = a.neighbor_id""".stripMargin
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < $QuantizerK
+       |), cr AS (
+       |  SELECT e.vec_id, c.cid,
+       |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |      ${fold("e.embedding", "c.cemb")} / (e.nrm * c.cnrm) DESC,
+       |      c.cid) AS r
+       |  FROM e CROSS JOIN c
+       |), data AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cr.cid AS bucket
+       |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.r = 1
+       |), probe AS (
+       |  SELECT e.vec_id, e.embedding, e.nrm, cr.cid AS bucket
+       |  FROM e JOIN cr ON cr.vec_id = e.vec_id AND cr.r <= 2
+       |), truth AS (
+       |  ${top3("FROM e a JOIN e b ON a.vec_id <> b.vec_id")}
+       |), a51 AS (
+       |  ${top3("FROM data a JOIN data b ON a.vec_id <> b.vec_id " +
+          "AND a.bucket = b.bucket")}
+       |), a55 AS (
+       |  ${top3("FROM probe a JOIN data b ON a.vec_id <> b.vec_id " +
+          "AND a.bucket = b.bucket")}
+       |)
+       |${recallRow("ivf_quantized", RecallFloorQuantized, "a51")}
+       |UNION ALL
+       |${recallRow("ivf_multiprobe", RecallFloorMultiProbe, "a55")}""".stripMargin
+  }
+
   /** q35 — embedding-cosine near-duplicate pairs (the vector-space
     * member of the dedup family): same-bucket pairs above a cosine
     * threshold, each listed once (a < b). */

@@ -489,6 +489,62 @@ class CrzSpec extends SparkSpec {
     assert(!Dictionary.affUsesNumFlags(spark, tmpAff("FLAG UTF-8")))
     assert(Dictionary.affUsesNumFlags(spark, tmpAff("FLAG num")))
     assert(Dictionary.affFlagMode(spark, tmpAff("SET UTF-8")) == "char")
+    // hunspell allows ONE FLAG directive: conflicting values must
+    // fail loudly, never depend on scan order (ADVICE r6); repeated
+    // identical lines are harmless and tolerated
+    val dup = intercept[IllegalArgumentException] {
+      Dictionary.affFlagMode(spark, tmpAff("FLAG num", "FLAG UTF-8"))
+    }
+    assert(dup.getMessage.contains("conflicting FLAG"))
+    assert(Dictionary.affFlagMode(spark,
+      tmpAff("FLAG num", "FLAG num")) == "num")
+  }
+
+  test("F22 continuation classes: a rule's /flags give the derived " +
+      "form one more flag-gated affix pass (two-step chain)") {
+    def tmp(suffix: String, lines: String*): String = {
+      val f = java.nio.file.Files.createTempFile("graft_cont", suffix)
+      java.nio.file.Files.write(f,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      f.toString
+    }
+    // SFX 1 derives `-able` forms carrying continuation flags 2,3:
+    // flag 2 is a second suffix (-ness), flag 3 a prefix (un-)
+    val aff = tmp(".aff",
+      "FLAG num",
+      "SFX 1 Y 1",
+      "SFX 1 0 able/2,3 .",
+      "SFX 2 Y 1",
+      "SFX 2 0 ness .",
+      "PFX 3 Y 1",
+      "PFX 3 0 un .")
+    val dic = Dictionary.loadDic(spark, tmp(".dic", "2", "work/1", "rest"))
+    val rules = Dictionary.loadAffixRules(spark, aff)
+    // the continuation class is parsed off the append field, not
+    // baked into the appended text
+    assert(rules.where($"flag" === "1" && $"append" === "able" &&
+      $"cont" === "2,3").count() == 1)
+    assert(rules.where($"flag" === "2" && $"cont".isNull).count() == 1)
+    val expanded = Dictionary.expandWithAffixes(dic, rules,
+      numericFlags = true).as[String].collect().toSet
+    // step 1: work/1 → workable; step 2 (continuation): the derived
+    // form's flags 2,3 license -ness and un- on workABLE
+    assert(expanded("workable"))
+    assert(expanded("workableness"))
+    assert(expanded("unworkable"))
+    // flag 2/3 are NOT on the stem: no workness/unwork; hunspell
+    // stops after one continuation level: no un+ness double chain;
+    // unflagged words still take nothing
+    assert(!expanded("workness"))
+    assert(!expanded("unwork"))
+    assert(!expanded("unworkableness"))
+    assert(!expanded("restable"))
+    // flag-blind mode never chains: each form is one rule application
+    val blind = Dictionary.expandWithAffixes(dic, rules,
+      flagAware = false).as[String].collect().toSet
+    assert(blind("workable") && blind("workness"))
+    assert(!blind("workableness"))
   }
 
   test("S15 retry envelope: reference schedule (6 tries, 3s, 2x), " +

@@ -86,6 +86,26 @@ class DedupSimilaritySpec extends SparkSpec {
       .where($"vec_id" === $"neighbor_id").count() == 0)
   }
 
+  test("q66 ANN recall assertion: both variants clear their floors " +
+      "against brute-force ground truth, multi-probe strictly ahead") {
+    val rows = SimilarityOps.annRecall(spark, sf0001)
+      .collect().map(r => r.getAs[String]("method") -> r).toMap
+    assert(rows.size == 2)
+    // the registered assertion: every method clears its floor — a
+    // broken bucket assignment craters recall to ~1/K ≈ 0.12
+    rows.values.foreach { r =>
+      assert(r.getAs[Boolean]("pass"),
+        s"${r.getAs[String]("method")} recall ${r.getAs[Double]("recall")} " +
+          s"under floor ${r.getAs[Double]("floor")}")
+    }
+    // recall is counted over the full truth set: total = 3 per vector
+    val total = rows("ivf_quantized").getAs[Long]("total")
+    assert(total == 3L * Tables.embeddings(spark, sf0001).count())
+    // probing 2 centroids must buy real recall over probing 1
+    assert(rows("ivf_multiprobe").getAs[Double]("recall") >
+      rows("ivf_quantized").getAs[Double]("recall"))
+  }
+
   test("q56 Lloyd refinement: the spherical-kmeans objective is " +
       "monotone over rounds and strictly covers the seed assignment") {
     def objective(rounds: Int): Double =

@@ -103,9 +103,9 @@ class ExternalToolSpec extends SparkSpec {
 
   test("ToolConf.proxies exports GRAFT_PROXIES and rotates the " +
       "conventional http(s)_proxy pair per spawn") {
-    // per-record mode seeds the proxy choice with the record id:
-    // id 2 → proxies(0), id 3 → proxies(1) — spawns spread across
-    // the list instead of all pinning .head
+    // per-record mode seeds the proxy choice with the MIXED record
+    // id: mixSeed(2) % 2 = 0, mixSeed(3) % 2 = 1 — spawns spread
+    // across the list instead of all pinning .head
     val ds = Seq((2L, "ping"), (3L, "pong")).toDS().coalesce(1)
     val res = ExternalTool
       .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
@@ -127,6 +127,50 @@ class ExternalToolSpec extends SparkSpec {
         reuseProcess = false))
       .collect()
     assert(bare(0).ok && bare(0).out.split("\\|", -1)(0) == "")
+  }
+
+  test("correlated (all-even) record ids still spread across the " +
+      "proxy list — the seed is mixed before the modulo") {
+    // the ADVICE r6 scenario: every id even, 2 proxies — raw id % 2
+    // would pin ALL records to proxies(0); the Fibonacci mix spreads
+    // them (and the expectations derive from the same mixSeed the
+    // adapter uses, not hardcoded hash values)
+    val proxies = Seq("http://10.0.0.1:3128", "http://10.0.0.2:3128")
+    val ids = Seq(2L, 4L, 6L, 8L)
+    val ds = ids.map(i => (i, "ping")).toDS().coalesce(1)
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/env_echo.sh"),
+        reuseProcess = false, proxies = proxies))
+      .collect().sortBy(_.id)
+    assert(res.forall(_.ok))
+    val chosen = res.map(_.out.split("\\|", -1)(1))
+    val expected = ids.map { i =>
+      val m = ExternalTool.mixSeed(i)
+      proxies((((m % 2) + 2) % 2).toInt)
+    }
+    assert(chosen.toSeq == expected)
+    // the point of the mix: both proxies are actually used
+    assert(chosen.toSet == proxies.toSet)
+  }
+
+  test("worker mode: a timeout-killed worker's replacement sees the " +
+      "NEXT proxy in http_proxy") {
+    // one partition (partition id 0): worker generation 0 gets
+    // proxies(mixSeed(0) % 2) = proxies(0); the SLEEP record forces a
+    // timeout kill, so record 3 is served by generation 1, which must
+    // see the NEXT entry — proxies(1) — not a re-roll onto the same
+    val proxies = Seq("http://10.0.0.1:3128", "http://10.0.0.2:3128")
+    val ds = Seq((1L, "alpha"), (2L, "SLEEP"), (3L, "beta")).toDS()
+      .coalesce(1).sortWithinPartitions("_1")
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/proxy_worker.sh"),
+        timeoutMs = 500L, proxies = proxies))
+      .collect().sortBy(_.id)
+    assert(res(0).ok && res(0).out == proxies(0))
+    assert(res(1).timed_out && !res(1).ok)
+    assert(res(2).ok && res(2).out == proxies(1))
+    // and it really was a respawn, not the same process
+    assert(res(2).worker_pid != res(0).worker_pid)
   }
 
   test("q33 feature flag routes decode through the external tool") {
