@@ -176,24 +176,24 @@ object Dictionary {
     modes.headOption.getOrElse("char")
   }
 
-  /** True when the `.aff` declares `FLAG num` — entry flags are then
-    * comma-separated integers (`word/8,13`); the classic
-    * one-character-per-flag packing (`word/AB`) and `FLAG UTF-8`
-    * (still one character per flag, just any unicode char) read
-    * false. `FLAG long` (TWO characters per flag) fits neither
-    * parser: per-character splitting would silently misparse EVERY
-    * flag and mis-gate the whole affix expansion, so it fails loudly
-    * here instead (documented in COVERAGE.md; callers wanting the
-    * over-approximation can run [[expandWithAffixes]] with
-    * `flagAware = false`, which never reads flags). */
+  /** LEGACY boolean view of [[affFlagMode]] — true for `FLAG num`
+    * (comma-separated integer flags, `word/8,13`), false for the
+    * classic one-character packing (`word/AB`, incl. `FLAG UTF-8`).
+    * `FLAG long` (TWO characters per flag) cannot be represented by
+    * this boolean, so it still fails loudly HERE — but it is a
+    * supported input family since round 7: pass
+    * `flagMode = affFlagMode(...)` to [[expandWithAffixes]] instead
+    * of this boolean and `long` dictionaries parse correctly
+    * (two-character chunking, spec-pinned). */
   def affUsesNumFlags(s: org.apache.spark.sql.SparkSession,
       path: String): Boolean = affFlagMode(s, path) match {
     case "num" => true
     case "long" => throw new IllegalArgumentException(
-      "FLAG long (two-character flags) is unsupported: per-character " +
-        "flag splitting would misparse every flag. Use flagAware = " +
-        "false for the flag-blind over-approximation, or convert the " +
-        "dictionary to FLAG num.")
+      "FLAG long (two-character flags) does not fit the boolean " +
+        "num-vs-char view: per-character splitting would misparse " +
+        "every flag. Pass flagMode = affFlagMode(...) to " +
+        "expandWithAffixes (supported since round 7), or use " +
+        "flagAware = false for the flag-blind over-approximation.")
     case _ => false
   }
 
@@ -204,14 +204,18 @@ object Dictionary {
     * `SFX 8 a y a` → `zmluvy`) pass spell membership.
     *
     * Flag gating is hunspell's: a flagged word applies exactly the
-    * rules its flags name (`numericFlags` — from the .aff `FLAG num`
-    * directive via [[affUsesNumFlags]] — selects comma-separated
-    * numeric vs per-character flag parsing), an unflagged
-    * word in a flagged dictionary takes no affixes. `flagAware =
-    * false` is the bare-wordlist mode: every condition-matching rule
-    * applies to every word — an over-approximation that errs toward
-    * accepting (fewer false "misspelled", the failure direction P11's
-    * dummy-column ratio prefers).
+    * rules its flags name, an unflagged word in a flagged dictionary
+    * takes no affixes. `flagMode` — feed it [[affFlagMode]]'s read of
+    * the `.aff` FLAG directive — selects the flag-string parser:
+    * `"num"` = comma-separated integers (`word/8,13`), `"long"` =
+    * two-character chunks (`word/ABCD` = flags AB, CD — every FLAG
+    * family hunspell defines is now supported), anything else =
+    * the classic one character per flag (incl. `FLAG UTF-8`).
+    * `flagAware = false` is the bare-wordlist mode: every
+    * condition-matching rule applies to every word — an
+    * over-approximation that errs toward accepting (fewer false
+    * "misspelled", the failure direction P11's dummy-column ratio
+    * prefers).
     *
     * Cross products follow hunspell: when an SFX rule AND a PFX rule
     * both sit in cross-product blocks (header flag `Y`) and the word
@@ -240,7 +244,7 @@ object Dictionary {
     * wordlists. */
   def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
       flagAware: Boolean = true,
-      numericFlags: Boolean = true): DataFrame = {
+      flagMode: String = "num"): DataFrame = {
     val base =
       if (dictionary.columns.contains("flags"))
         dictionary.select(lower(col("word")).as("word"), col("flags"))
@@ -252,12 +256,12 @@ object Dictionary {
     // single-affix forms, plus the suffixed cross-candidates re-run
     // through the cross-capable prefix rules (flag gating stays on
     // the STEM's flags, which applyAffixRules preserves)
-    val suffixed = applyAffixRules(base, sfx, flagAware, numericFlags)
-    val prefixed = applyAffixRules(base, pfx, flagAware, numericFlags)
+    val suffixed = applyAffixRules(base, sfx, flagAware, flagMode)
+    val prefixed = applyAffixRules(base, pfx, flagAware, flagMode)
     val crossed = applyAffixRules(
       applyAffixRules(base, sfx.where(col("cross")), flagAware,
-        numericFlags),
-      pfx.where(col("cross")), flagAware, numericFlags)
+        flagMode),
+      pfx.where(col("cross")), flagAware, flagMode)
     // two-step chains: forms whose rule carried a continuation class
     // re-enter one more pass with the CLASS as their flags (stem
     // flags no longer apply — hunspell gates the second affix on the
@@ -269,7 +273,7 @@ object Dictionary {
           .where(col("cont").isNotNull)
           .select(col("word"), col("cont").as("flags"))
         Seq(applyAffixRules(contForms, affixRules, flagAware = true,
-          numericFlags))
+          flagMode))
       }
     (Seq(base, suffixed, prefixed, crossed) ++ chained)
       .map(_.select("word"))
@@ -285,12 +289,16 @@ object Dictionary {
     * [[expandWithAffixes]] can run the two-step chain on forms whose
     * rule declared one). */
   private def applyAffixRules(words: DataFrame, rules: DataFrame,
-      flagAware: Boolean, numericFlags: Boolean): DataFrame = {
-    // FLAG num dictionaries list flags as comma-separated integers;
-    // the classic format packs one character per flag
-    val flagArr =
-      if (numericFlags) split(col("flags"), ",")
-      else split(col("flags"), "")
+      flagAware: Boolean, flagMode: String): DataFrame = {
+    // FLAG num lists flags as comma-separated integers; FLAG long
+    // packs TWO characters per flag (non-overlapping pairs — an
+    // odd trailing char is malformed input and is dropped, as
+    // hunspell warns); the classic format packs one character each
+    val flagArr = flagMode match {
+      case "num" => split(col("flags"), ",")
+      case "long" => expr("regexp_extract_all(flags, '..', 0)")
+      case _ => split(col("flags"), "")
+    }
     words.select(col("word"), col("flags")).crossJoin(broadcast(rules))
       .where(
         if (flagAware) array_contains(flagArr, col("flag"))

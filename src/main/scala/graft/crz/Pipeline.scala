@@ -116,7 +116,7 @@ object Pipeline {
         Dictionary.expandWithRep(dicBase, Dictionary.loadRepRules(s, a))
           .union(Dictionary.expandWithAffixes(dicBase,
             Dictionary.loadAffixRules(s, a),
-            numericFlags = Dictionary.affUsesNumFlags(s, a)))
+            flagMode = Dictionary.affFlagMode(s, a)))
           .distinct()
       }
       .getOrElse(dicBase)

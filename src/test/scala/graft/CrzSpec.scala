@@ -527,7 +527,7 @@ class CrzSpec extends SparkSpec {
       $"cont" === "2,3").count() == 1)
     assert(rules.where($"flag" === "2" && $"cont".isNull).count() == 1)
     val expanded = Dictionary.expandWithAffixes(dic, rules,
-      numericFlags = true).as[String].collect().toSet
+      flagMode = "num").as[String].collect().toSet
     // step 1: work/1 → workable; step 2 (continuation): the derived
     // form's flags 2,3 license -ness and un- on workABLE
     assert(expanded("workable"))
@@ -545,6 +545,44 @@ class CrzSpec extends SparkSpec {
       flagAware = false).as[String].collect().toSet
     assert(blind("workable") && blind("workness"))
     assert(!blind("workableness"))
+  }
+
+  test("F22 FLAG long: two-character flags parse as pairs — " +
+      "word/ABCD takes rules AB and CD, never the straddle BC") {
+    def tmp(suffix: String, lines: String*): String = {
+      val f = java.nio.file.Files.createTempFile("graft_long", suffix)
+      java.nio.file.Files.write(f,
+        lines.mkString("\n").getBytes("UTF-8"))
+      f.toFile.deleteOnExit()
+      f.toString
+    }
+    val affPath = tmp(".aff",
+      "FLAG long",
+      "SFX AB Y 1",
+      "SFX AB 0 able .",
+      "SFX BC Y 1",
+      "SFX BC 0 ish .",
+      "PFX CD Y 1",
+      "PFX CD 0 un .")
+    // work/ABCD = flags AB, CD; trap/BA = flag BA (NOT rule AB —
+    // two-char flags are atomic, not character sets)
+    val dic = Dictionary.loadDic(spark,
+      tmp(".dic", "2", "work/ABCD", "trap/BA"))
+    val rules = Dictionary.loadAffixRules(spark, affPath)
+    // the directive reads "long"; the legacy boolean view still
+    // refuses it (it cannot represent pair parsing) — the supported
+    // path is flagMode below
+    assert(Dictionary.affFlagMode(spark, affPath) == "long")
+    val expanded = Dictionary.expandWithAffixes(dic, rules,
+      flagMode = Dictionary.affFlagMode(spark, affPath))
+      .as[String].collect().toSet
+    assert(expanded("workable")) // flag AB
+    assert(expanded("unwork")) // flag CD
+    // BC is the character straddle between AB|CD — a per-char or
+    // substring parser would wrongly license it
+    assert(!expanded("workish"))
+    // BA shares both characters with AB but is a different flag
+    assert(!expanded("trapable"))
   }
 
   test("S15 retry envelope: reference schedule (6 tries, 3s, 2x), " +
