@@ -227,9 +227,13 @@ object Dictionary {
     * composition mechanism): a rule whose append carries `/flags`
     * (`SFX 1 0 able/2 .`) gives its DERIVED form those flags, and the
     * form takes one more flag-gated affix pass (`work/1` → `workable`
-    * → `workableness` when flag 2 appends `ness`). Hunspell itself
-    * stops at this depth (one continuation level), so the chain is
-    * exact, not truncated. Flag-gated by nature, so it only runs in
+    * → `workableness` when flag 2 appends `ness`). Hunspell allows
+    * one continuation level on a suffix (never a chain of a chain),
+    * so single-affix derivations chain exactly; the one remaining
+    * delta is that PFX×SFX cross-product OUTPUTS do not re-enter the
+    * chain (prefix + suffix + continuation suffix — a depth the
+    * reference's dictionaries never exercise: zero `/flags` appends
+    * at all). Flag-gated by nature, so it only runs in
     * `flagAware` mode — in the flag-blind over-approximation every
     * rule already applies to every word and a second blind pass would
     * manufacture forms no flag path licenses. Vacuous on the

@@ -583,6 +583,12 @@ class CrzSpec extends SparkSpec {
     assert(!expanded("workish"))
     // BA shares both characters with AB but is a different flag
     assert(!expanded("trapable"))
+    // odd-length flag string = malformed input: complete pairs still
+    // apply, the dangling char is ignored (hunspell's lenient read)
+    val odd = Dictionary.expandWithAffixes(
+      Dictionary.loadDic(spark, tmp(".dic", "1", "odd/ABC")),
+      rules, flagMode = "long").as[String].collect().toSet
+    assert(odd("oddable") && !odd.exists(_.endsWith("ish")))
   }
 
   test("S15 retry envelope: reference schedule (6 tries, 3s, 2x), " +
