@@ -141,7 +141,10 @@ object Dictionary {
         element_at(col("p"), 2).as("flag"),
         when(element_at(col("p"), 3) === "0", "")
           .otherwise(element_at(col("p"), 3)).as("strip"),
-        when(element_at(col("p"), 4) === "0", "")
+        // the zero-append test must run on the PRE-slash portion:
+        // hunspell's zero-affix-with-continuation form (`SFX 1 0 0/2
+        // .`) would otherwise append a literal "0"
+        when(substring_index(element_at(col("p"), 4), "/", 1) === "0", "")
           .otherwise(substring_index(element_at(col("p"), 4), "/", 1))
           .as("append"),
         when(element_at(col("p"), 4).contains("/"),

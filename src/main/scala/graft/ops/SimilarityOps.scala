@@ -427,27 +427,34 @@ object SimilarityOps {
     * family — becomes a checked assertion (`pass` must be true, spec-
     * pinned and oracle-matched) instead of a permanent bench tax.
     *
-    * Counting shape: ground truth is computed once per method row and
-    * consumed in a SINGLE left-join aggregation (total = truth rows,
-    * hits = matched rows), so recall is one exact integer pair and
-    * one IEEE division — bit-identical in DuckDB. Excluded from the
-    * measured bench for the same reason q24 is: it embeds the
-    * all-pairs truth. */
+    * Counting shape: the all-pairs ground truth is computed ONCE —
+    * replicated per method by a broadcast crossJoin with the 2-row
+    * method dimension, never re-derived per branch — then one
+    * left-join aggregation per (method) group yields total = truth
+    * rows and hits = matched rows, so recall is one exact integer
+    * pair and one IEEE division — bit-identical in DuckDB. Excluded
+    * from the measured bench for the same reason q24 is: it embeds
+    * the all-pairs truth. */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    def row(method: String, floor: Double, approx: DataFrame): DataFrame =
-      pairsTopK(s, dir, sameLabelOnly = false, k = 3)
-        .select($"vec_id", $"neighbor_id")
-        .join(approx.select($"vec_id", $"neighbor_id",
-          lit(1).as("hit")), Seq("vec_id", "neighbor_id"), "left")
-        .agg(count(lit(1)).as("total"), count($"hit").as("hits"))
-        .select(lit(method).as("method"), $"hits", $"total",
-          ($"hits".cast("double") / $"total".cast("double")).as("recall"),
-          lit(floor).as("floor"))
-    row("ivf_quantized", RecallFloorQuantized, annQuantized(s, dir))
-      .union(row("ivf_multiprobe", RecallFloorMultiProbe,
-        annMultiProbe(s, dir)))
-      .withColumn("pass", $"recall" >= $"floor")
+    val methods = Seq(
+      ("ivf_quantized", RecallFloorQuantized),
+      ("ivf_multiprobe", RecallFloorMultiProbe)).toDF("method", "floor")
+    def tagged(method: String, approx: DataFrame): DataFrame =
+      approx.select(lit(method).as("method"), $"vec_id", $"neighbor_id",
+        lit(1).as("hit"))
+    val approx = tagged("ivf_quantized", annQuantized(s, dir))
+      .union(tagged("ivf_multiprobe", annMultiProbe(s, dir)))
+    pairsTopK(s, dir, sameLabelOnly = false, k = 3)
+      .select($"vec_id", $"neighbor_id")
+      .crossJoin(broadcast(methods))
+      .join(approx, Seq("method", "vec_id", "neighbor_id"), "left")
+      .groupBy($"method", $"floor")
+      .agg(count(lit(1)).as("total"), count($"hit").as("hits"))
+      .select($"method", $"hits", $"total",
+        ($"hits".cast("double") / $"total".cast("double")).as("recall"),
+        $"floor", ($"hits".cast("double") / $"total".cast("double") >=
+          $"floor").as("pass"))
   }
 
   /** DuckDB twin of [[annRecall]]: one flat WITH sharing the ranked-

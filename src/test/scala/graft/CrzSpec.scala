@@ -11,6 +11,15 @@ class CrzSpec extends SparkSpec {
 
   private val fx = "fixtures/crz"
 
+  /** Write `lines` to a self-deleting temp file (one place for the
+    * encoding/cleanup convention all fixture-writing tests share). */
+  private def tmpFile(suffix: String, lines: String*): String = {
+    val f = java.nio.file.Files.createTempFile("graft_fixture", suffix)
+    java.nio.file.Files.write(f, lines.mkString("\n").getBytes("UTF-8"))
+    f.toFile.deleteOnExit()
+    f.toString
+  }
+
   // ---- A1: XML source with quarantine (S3/S4) ----
 
   test("XML scan: good rows parsed, malformed row quarantined") {
@@ -465,13 +474,7 @@ class CrzSpec extends SparkSpec {
 
   test("F22 .aff robustness: truncated SFX lines are ignored (not an " +
       "ANSI error) and FLAG long fails loudly, FLAG UTF-8 does not") {
-    def tmpAff(lines: String*): String = {
-      val f = java.nio.file.Files.createTempFile("graft_aff", ".aff")
-      java.nio.file.Files.write(f,
-        lines.mkString("\n").getBytes("UTF-8"))
-      f.toFile.deleteOnExit()
-      f.toString
-    }
+    def tmpAff(lines: String*): String = tmpFile(".aff", lines: _*)
     // a malformed line starting with SFX but carrying fewer than 4
     // tokens must be skipped by the shape test, not explode the load
     // with INVALID_ARRAY_INDEX under ANSI mode
@@ -502,24 +505,20 @@ class CrzSpec extends SparkSpec {
 
   test("F22 continuation classes: a rule's /flags give the derived " +
       "form one more flag-gated affix pass (two-step chain)") {
-    def tmp(suffix: String, lines: String*): String = {
-      val f = java.nio.file.Files.createTempFile("graft_cont", suffix)
-      java.nio.file.Files.write(f,
-        lines.mkString("\n").getBytes("UTF-8"))
-      f.toFile.deleteOnExit()
-      f.toString
-    }
     // SFX 1 derives `-able` forms carrying continuation flags 2,3:
     // flag 2 is a second suffix (-ness), flag 3 a prefix (un-)
-    val aff = tmp(".aff",
+    val aff = tmpFile(".aff",
       "FLAG num",
       "SFX 1 Y 1",
       "SFX 1 0 able/2,3 .",
       "SFX 2 Y 1",
       "SFX 2 0 ness .",
       "PFX 3 Y 1",
-      "PFX 3 0 un .")
-    val dic = Dictionary.loadDic(spark, tmp(".dic", "2", "work/1", "rest"))
+      "PFX 3 0 un .",
+      "SFX 4 Y 1",
+      "SFX 4 0 0/2 .") // zero-append WITH a continuation class
+    val dic = Dictionary.loadDic(spark,
+      tmpFile(".dic", "3", "work/1", "rest", "plain/4"))
     val rules = Dictionary.loadAffixRules(spark, aff)
     // the continuation class is parsed off the append field, not
     // baked into the appended text
@@ -540,6 +539,11 @@ class CrzSpec extends SparkSpec {
     assert(!expanded("unwork"))
     assert(!expanded("unworkableness"))
     assert(!expanded("restable"))
+    // hunspell's zero-affix-with-continuation form `SFX 4 0 0/2 .`:
+    // appends NOTHING (the "0" before the slash is the empty-append
+    // marker, not a literal) and hands flag 2 to the unchanged word
+    assert(expanded("plainness"))
+    assert(!expanded.exists(_.contains("0")))
     // flag-blind mode never chains: each form is one rule application
     val blind = Dictionary.expandWithAffixes(dic, rules,
       flagAware = false).as[String].collect().toSet
@@ -549,14 +553,7 @@ class CrzSpec extends SparkSpec {
 
   test("F22 FLAG long: two-character flags parse as pairs — " +
       "word/ABCD takes rules AB and CD, never the straddle BC") {
-    def tmp(suffix: String, lines: String*): String = {
-      val f = java.nio.file.Files.createTempFile("graft_long", suffix)
-      java.nio.file.Files.write(f,
-        lines.mkString("\n").getBytes("UTF-8"))
-      f.toFile.deleteOnExit()
-      f.toString
-    }
-    val affPath = tmp(".aff",
+    val affPath = tmpFile(".aff",
       "FLAG long",
       "SFX AB Y 1",
       "SFX AB 0 able .",
@@ -567,7 +564,7 @@ class CrzSpec extends SparkSpec {
     // work/ABCD = flags AB, CD; trap/BA = flag BA (NOT rule AB —
     // two-char flags are atomic, not character sets)
     val dic = Dictionary.loadDic(spark,
-      tmp(".dic", "2", "work/ABCD", "trap/BA"))
+      tmpFile(".dic", "2", "work/ABCD", "trap/BA"))
     val rules = Dictionary.loadAffixRules(spark, affPath)
     // the directive reads "long"; the legacy boolean view still
     // refuses it (it cannot represent pair parsing) — the supported
@@ -586,7 +583,7 @@ class CrzSpec extends SparkSpec {
     // odd-length flag string = malformed input: complete pairs still
     // apply, the dangling char is ignored (hunspell's lenient read)
     val odd = Dictionary.expandWithAffixes(
-      Dictionary.loadDic(spark, tmp(".dic", "1", "odd/ABC")),
+      Dictionary.loadDic(spark, tmpFile(".dic", "1", "odd/ABC")),
       rules, flagMode = "long").as[String].collect().toSet
     assert(odd("oddable") && !odd.exists(_.endsWith("ish")))
   }
