@@ -133,10 +133,14 @@ object Bench {
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + ms3(v) }
       .mkString("{", ",", "}")
     // failures carry -1 sentinels; they must not SUBTRACT from the
-    // total and make a broken run read as a speedup
-    val total = results.map(_._2).filter(_ >= 0).sum
+    // total and make a broken run read as a speedup — and n_queries
+    // must count exactly what the total covers, with failures
+    // reported in their own field, so value/n_queries stays a valid
+    // cross-round comparison even in a partially failed run
+    val ok = results.filter(_._2 >= 0)
+    val total = ok.map(_._2).sum
     val ex = excluded.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_seconds":${ms3(total)},"n_queries":${results.size},"queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","excluded":$ex}""")
+    println(s"""{"metric":"total","value":${ms3(total)},"unit":"sec","total_seconds":${ms3(total)},"n_queries":${ok.size},"n_failed":${results.size - ok.size},"queries":$qs,"sf":"$sfDir","runs_per_query":$runs,"stat":"median","excluded":$ex}""")
     spark.stop()
   }
 }

@@ -272,15 +272,22 @@ object Dictionary {
     // two-step chains: forms whose rule carried a continuation class
     // re-enter one more pass with the CLASS as their flags (stem
     // flags no longer apply — hunspell gates the second affix on the
-    // continuation flags alone)
+    // continuation flags alone). The second pass's rule KIND follows
+    // hunspell's composition limits: a suffixed form may take a
+    // second suffix or a circumfix prefix (all rules), but a PREFIXED
+    // form may only take a suffix — twofold prefix stripping does not
+    // exist without COMPLEXPREFIXES, so a prefix continuation naming
+    // another prefix must not generate double-prefix forms
     val chained =
       if (!flagAware) Seq.empty[DataFrame]
       else {
-        val contForms = suffixed.union(prefixed)
-          .where(col("cont").isNotNull)
+        def contOf(df: DataFrame) = df.where(col("cont").isNotNull)
           .select(col("word"), col("cont").as("flags"))
-        Seq(applyAffixRules(contForms, affixRules, flagAware = true,
-          flagMode))
+        Seq(
+          applyAffixRules(contOf(suffixed), affixRules,
+            flagAware = true, flagMode),
+          applyAffixRules(contOf(prefixed), sfx,
+            flagAware = true, flagMode))
       }
     (Seq(base, suffixed, prefixed, crossed) ++ chained)
       .map(_.select("word"))

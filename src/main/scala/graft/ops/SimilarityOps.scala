@@ -434,7 +434,17 @@ object SimilarityOps {
     * rows and hits = matched rows, so recall is one exact integer
     * pair and one IEEE division — bit-identical in DuckDB. Excluded
     * from the measured bench for the same reason q24 is: it embeds
-    * the all-pairs truth. */
+    * the all-pairs truth.
+    *
+    * Deliberate redundancy: the approx sides call [[annQuantized]]
+    * and [[annMultiProbe]] AS REGISTERED — each re-scans embeddings
+    * and re-derives its centroid fold — rather than sharing one
+    * internal top-2 assignment. q66 certifies the recall of the
+    * pipelines users actually run; a shared re-derivation would keep
+    * passing if a registered pipeline's own assignment broke, which
+    * is the one regression this query exists to catch. The extra
+    * scans are bounded (bench-excluded; correctness-gate scale
+    * only). */
   def annRecall(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val methods = Seq(

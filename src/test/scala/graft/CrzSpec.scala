@@ -516,9 +516,15 @@ class CrzSpec extends SparkSpec {
       "PFX 3 Y 1",
       "PFX 3 0 un .",
       "SFX 4 Y 1",
-      "SFX 4 0 0/2 .") // zero-append WITH a continuation class
+      "SFX 4 0 0/2 .", // zero-append WITH a continuation class
+      "PFX 7 Y 1",
+      "PFX 7 0 pre/9,8 .", // prefix with continuation classes 9 (SFX), 8 (PFX)
+      "SFX 9 Y 1",
+      "SFX 9 0 ly .",
+      "PFX 8 Y 1",
+      "PFX 8 0 anti .")
     val dic = Dictionary.loadDic(spark,
-      tmpFile(".dic", "3", "work/1", "rest", "plain/4"))
+      tmpFile(".dic", "4", "work/1", "rest", "plain/4", "view/7"))
     val rules = Dictionary.loadAffixRules(spark, aff)
     // the continuation class is parsed off the append field, not
     // baked into the appended text
@@ -544,6 +550,13 @@ class CrzSpec extends SparkSpec {
     // marker, not a literal) and hands flag 2 to the unchanged word
     assert(expanded("plainness"))
     assert(!expanded.exists(_.contains("0")))
+    // a PREFIXED form's continuation may license a suffix (preview →
+    // previewly) but never a second prefix: twofold prefix stripping
+    // does not exist without COMPLEXPREFIXES, so flag 8 (anti-) on
+    // preview's continuation must not over-generate
+    assert(expanded("preview"))
+    assert(expanded("previewly"))
+    assert(!expanded("antipreview"))
     // flag-blind mode never chains: each form is one rule application
     val blind = Dictionary.expandWithAffixes(dic, rules,
       flagAware = false).as[String].collect().toSet
