@@ -92,6 +92,10 @@ object SparkEntry {
         Some(TextOps.salientTermsSql)),
       ("q65_token_budget", TextOps.tokenBudget _,
         Some(TextOps.tokenBudgetSql)),
+      ("q67_chunk_windows", TextOps.chunkWindows _,
+        Some(TextOps.chunkWindowsSql)),
+      ("q68_sequence_pack", TextOps.sequencePack _,
+        Some(TextOps.sequencePackSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

@@ -726,6 +726,102 @@ object TextOps {
       |       CAST(MAX(c) AS DOUBLE) / CAST(SUM(c) AS DOUBLE) AS rep_ratio
       |FROM counts GROUP BY doc_id""".stripMargin
 
+  /** q67 — context-window chunking (the sequence-construction stage
+    * of a training-data pipeline): every document is cut into
+    * overlapping fixed-token windows ([[ChunkTokens]] tokens, stride
+    * [[ChunkStride]]) so long documents fit a model's context window
+    * without losing boundary tokens. Chunk starts are
+    * `sequence(0, n_tokens - 1, stride)`: the final window may be
+    * short, and a document shorter than one window yields exactly one
+    * chunk. Tokenization is the q65/q28 whitespace convention, so
+    * chunk token counts reconcile with the budget/mixing stages.
+    *
+    * Scale shape: pure per-row expressions (split → sequence →
+    * explode → slice → array_join) — ZERO shuffle for the whole
+    * corpus, and each chunk's text comes from the token-array slice,
+    * never a re-scan of the source string. Output is ≈ n/stride rows
+    * per doc; at 100 TB this is an embarrassingly parallel map whose
+    * only cost is the ~1.3× (size/stride) output inflation the
+    * overlap deliberately buys. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", split(trim($"text"), " +"))
+      .select($"doc_id", $"toks", explode(expr(
+        s"sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)"))
+        .as("start"))
+      .withColumn("chunk", expr(s"slice(toks, start + 1, $ChunkTokens)"))
+      .select($"doc_id",
+        expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_id"),
+        size($"chunk").cast("long").as("n_chunk_tokens"),
+        array_join($"chunk", " ").as("chunk_text"))
+  }
+
+  val chunkWindowsSql: String =
+    s"""SELECT doc_id,
+       |  CAST(start // $ChunkStride AS BIGINT) AS chunk_id,
+       |  CAST(len(toks[start + 1 : start + $ChunkTokens]) AS BIGINT)
+       |    AS n_chunk_tokens,
+       |  array_to_string(toks[start + 1 : start + $ChunkTokens], ' ')
+       |    AS chunk_text
+       |FROM (
+       |  SELECT doc_id, toks,
+       |    unnest(generate_series(0, greatest(len(toks) - 1, 0),
+       |                           $ChunkStride)) AS start
+       |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
+       |        FROM documents))""".stripMargin
+
+  /** q68 — sequence packing (the batch-construction stage after
+    * chunking/mixing): documents are laid end-to-end per language in
+    * the same md5-keyed deterministic order q65 mixes with, and each
+    * is assigned to the training sequence — the [[PackBudget]]-token
+    * bin — in which it STARTS (`exclusive-cumsum div budget`, the
+    * greedy first-fit-in-order packing). The report is per-bin
+    * packing efficiency (docs and tokens per sequence). Unlike q65,
+    * which truncates the corpus at one budget, packing keeps every
+    * document and answers "how many sequences does this corpus fill,
+    * and how full is each".
+    *
+    * Scale shape: identical to q65 — one exchange on the window
+    * partition key (lang) with O(1) running-sum state per partition,
+    * then a map-side-combinable (lang, bin) rollup whose output is
+    * corpus_tokens/budget rows. A skewed language salts exactly like
+    * q49. */
+  val PackBudget = 512L
+  def sequencePack(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"lang")
+      .orderBy($"ord", $"doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(s, dir)
+      .withColumn("n_tokens",
+        size(split(trim($"text"), " +")).cast("long"))
+      .withColumn("ord", md5($"doc_id".cast("string")))
+      .withColumn("cum_tokens", sum($"n_tokens").over(w))
+      .withColumn("bin_id",
+        expr(s"CAST((cum_tokens - n_tokens) DIV $PackBudget AS BIGINT)"))
+      .groupBy($"lang", $"bin_id")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("bin_tokens"))
+  }
+
+  val sequencePackSql: String =
+    s"""SELECT lang,
+       |  CAST((cum_tokens - n_tokens) // $PackBudget AS BIGINT) AS bin_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+       |FROM (
+       |  SELECT lang,
+       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+       |      AS n_tokens,
+       |    CAST(SUM(CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT))
+       |      OVER (PARTITION BY lang
+       |            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+       |            ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_tokens
+       |  FROM documents)
+       |GROUP BY 1, 2""".stripMargin
+
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

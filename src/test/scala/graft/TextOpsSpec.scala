@@ -253,4 +253,58 @@ class TextOpsSpec extends SparkSpec {
     assert(snips.nonEmpty)
     assert(snips.forall(_.startsWith("order")))
   }
+
+  test("chunk windows match an independent recomputation exactly: " +
+    "every token covered, stride overlap, short tail chunk kept") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    assert(docs.nonEmpty)
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.trim.split(" +").toSeq
+      val starts = 0 to math.max(toks.length - 1, 0) by TextOps.ChunkStride
+      starts.map { st =>
+        val chunk = toks.slice(st, st + TextOps.ChunkTokens)
+        (id, (st / TextOps.ChunkStride).toLong, chunk.length.toLong,
+          chunk.mkString(" "))
+      }
+    }.toSet
+    // at least one doc must actually exercise the overlap (≥ 2 chunks)
+    assert(expected.exists(_._2 >= 1L))
+    val got = TextOps.chunkWindows(spark, sf0001)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(got == expected)
+  }
+
+  test("sequence packing matches an independent greedy recomputation " +
+    "and the bins partition the corpus token-exactly") {
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang", $"text")
+      .as[(Long, String, String)].collect()
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(v: String): String =
+      md.digest(v.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val expected = docs.toSeq
+      .map { case (id, lang, text) =>
+        (lang, md5hex(id.toString), id,
+          text.trim.split(" +").length.toLong)
+      }
+      .groupBy(_._1).toSeq.flatMap { case (lang, rows) =>
+        var cum = 0L
+        rows.sortBy(r => (r._2, r._3)).map { r =>
+          val bin = cum / TextOps.PackBudget
+          cum += r._4
+          (lang, bin, r._4)
+        }
+      }
+      .groupBy(r => (r._1, r._2)).map { case ((lang, bin), rs) =>
+        (lang, bin, rs.size.toLong, rs.map(_._3).sum)
+      }.toSet
+    val got = TextOps.sequencePack(spark, sf0001)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == expected)
+    // partition property: nothing truncated — bin tokens sum to corpus
+    val corpusTokens =
+      docs.map(_._3.trim.split(" +").length.toLong).sum
+    assert(got.toSeq.map(_._4).sum == corpusTokens)
+  }
 }
