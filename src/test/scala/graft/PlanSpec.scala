@@ -81,6 +81,23 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Join"))
   }
 
+  test("q67: chunking is map-only — generate + project, ZERO exchanges") {
+    val plan = formatted(TextOps.chunkWindows(spark, sf0001))
+    assert(plan.contains("Generate"))
+    assert(!plan.contains("Exchange"))
+    assert(!plan.contains("Join"))
+  }
+
+  test("q68: packing is q65's one lang window plus one rollup — at most " +
+      "two exchanges, no join") {
+    val plan = formatted(TextOps.sequencePack(spark, sf0001))
+    assert(plan.contains("Window"))
+    assert(plan.contains("HashAggregate"))
+    // 2 exchange nodes (window key + rollup) × 2 prints in formatted
+    assert(plan.split("Exchange").length - 1 <= 4)
+    assert(!plan.contains("Join"))
+  }
+
   test("q04: contains-semijoin stays a broadcast NL semi join") {
     val plan = formatted(Relational.containsSemiJoin(spark, sf0001))
     assert(plan.contains("BroadcastNestedLoopJoin"))
