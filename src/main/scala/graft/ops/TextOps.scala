@@ -731,10 +731,14 @@ object TextOps {
     * overlapping fixed-token windows ([[ChunkTokens]] tokens, stride
     * [[ChunkStride]]) so long documents fit a model's context window
     * without losing boundary tokens. Chunk starts are
-    * `sequence(0, n_tokens - 1, stride)`: the final window may be
-    * short, and a document shorter than one window yields exactly one
-    * chunk. Tokenization is the q65/q28 whitespace convention, so
-    * chunk token counts reconcile with the budget/mixing stages.
+    * `sequence(0, n_tokens - 1 - overlap, stride)` (overlap = size −
+    * stride): the final window may be short, every emitted chunk
+    * contributes at least one token no earlier chunk covers (a start
+    * in the last `overlap` tokens would be fully contained in its
+    * predecessor and is not emitted), and a document no longer than
+    * one window yields exactly one chunk. Tokenization is the q65/q28
+    * whitespace convention, so chunk token counts reconcile with the
+    * budget/mixing stages.
     *
     * Scale shape: pure per-row expressions (split → sequence →
     * explode → slice → array_join) — ZERO shuffle for the whole
@@ -745,12 +749,16 @@ object TextOps {
     * overlap deliberately buys. */
   val ChunkTokens = 32
   val ChunkStride = 24
+  /** Tokens shared between consecutive chunks; a chunk starting inside
+    * the previous chunk's last `ChunkOverlap` tokens can never reach
+    * past it, so such starts are pure duplicates and are not emitted. */
+  val ChunkOverlap: Int = ChunkTokens - ChunkStride
   def chunkWindows(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", split(trim($"text"), " +"))
       .select($"doc_id", $"toks", explode(expr(
-        s"sequence(0, greatest(size(toks) - 1, 0), $ChunkStride)"))
+        s"sequence(0, greatest(size(toks) - 1 - $ChunkOverlap, 0), $ChunkStride)"))
         .as("start"))
       .withColumn("chunk", expr(s"slice(toks, start + 1, $ChunkTokens)"))
       .select($"doc_id",
@@ -768,21 +776,26 @@ object TextOps {
        |    AS chunk_text
        |FROM (
        |  SELECT doc_id, toks,
-       |    unnest(generate_series(0, greatest(len(toks) - 1, 0),
+       |    unnest(generate_series(0, greatest(len(toks) - 1 - $ChunkOverlap, 0),
        |                           $ChunkStride)) AS start
        |  FROM (SELECT doc_id, string_split_regex(trim(text), ' +') AS toks
        |        FROM documents))""".stripMargin
 
   /** q68 — sequence packing (the batch-construction stage after
-    * chunking/mixing): documents are laid end-to-end per language in
-    * the same md5-keyed deterministic order q65 mixes with, and each
-    * is assigned to the training sequence — the [[PackBudget]]-token
-    * bin — in which it STARTS (`exclusive-cumsum div budget`, the
-    * greedy first-fit-in-order packing). The report is per-bin
-    * packing efficiency (docs and tokens per sequence). Unlike q65,
-    * which truncates the corpus at one budget, packing keeps every
-    * document and answers "how many sequences does this corpus fill,
-    * and how full is each".
+    * chunking/mixing), in the concatenate-and-cut convention of
+    * GPT-style pretraining: documents are laid end-to-end per
+    * language in the same md5-keyed deterministic order q65 mixes
+    * with, the token stream is cut every [[PackBudget]] tokens, and
+    * each document is attributed to the sequence (bin) in which it
+    * STARTS (`exclusive-cumsum div budget`). A document may straddle
+    * a cut, so a bin's attributed tokens can exceed the budget by up
+    * to its last doc's length — this is NOT first-fit bin packing
+    * (nothing is held back to keep bins under budget; the cut
+    * boundary, not the bin total, is fixed). The report is per-bin
+    * packing pressure (docs and attributed tokens per sequence).
+    * Unlike q65, which truncates the corpus at one budget, packing
+    * keeps every document and answers "how many sequences does this
+    * corpus fill, and where do the cuts fall".
     *
     * Scale shape: identical to q65 — one exchange on the window
     * partition key (lang) with O(1) running-sum state per partition,

@@ -261,7 +261,9 @@ class TextOpsSpec extends SparkSpec {
     assert(docs.nonEmpty)
     val expected = docs.flatMap { case (id, text) =>
       val toks = text.trim.split(" +").toSeq
-      val starts = 0 to math.max(toks.length - 1, 0) by TextOps.ChunkStride
+      val maxStart =
+        math.max(toks.length - 1 - TextOps.ChunkOverlap, 0)
+      val starts = 0 to maxStart by TextOps.ChunkStride
       starts.map { st =>
         val chunk = toks.slice(st, st + TextOps.ChunkTokens)
         (id, (st / TextOps.ChunkStride).toLong, chunk.length.toLong,
@@ -273,10 +275,41 @@ class TextOpsSpec extends SparkSpec {
     val got = TextOps.chunkWindows(spark, sf0001)
       .as[(Long, Long, Long, String)].collect().toSet
     assert(got == expected)
+    // every token is covered (last chunk reaches the doc's end) and
+    // every chunk past the first adds tokens its predecessor did not
+    // cover (no fully-contained duplicate tail chunk)
+    docs.foreach { case (id, text) =>
+      val n = text.trim.split(" +").length.toLong
+      val chunks = got.filter(_._1 == id).toSeq.sortBy(_._2)
+      val ends = chunks.map(c =>
+        c._2 * TextOps.ChunkStride + c._3) // start + len
+      assert(ends.last == n)
+      ends.sliding(2).foreach {
+        case Seq(a, b) => assert(b > a)
+        case _         =>
+      }
+    }
   }
 
-  test("sequence packing matches an independent greedy recomputation " +
-    "and the bins partition the corpus token-exactly") {
+  test("chunk boundary lengths: docs in the dead zone (stride < n ≤ " +
+      "stride + overlap) yield ONE chunk, one past it yields two") {
+    // 30 tokens sits between stride 24 and stride+overlap 32: a chunk
+    // at start 24 would cover tokens 25-30, all inside chunk 0 — the
+    // fully-contained duplicate the start rule must not emit
+    def doc(n: Int) = (n.toLong, (1 to n).map("t" + _).mkString(" "))
+    val docs = Seq(8, 24, 25, 30, 32, 33, 56, 57).map(doc)
+      .toDF("doc_id", "text")
+    val tmp = java.nio.file.Files.createTempDirectory("chunks").toString
+    docs.write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val byDoc = TextOps.chunkWindows(spark, tmp).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+      .view.mapValues(_.length).toMap
+    assert(byDoc == Map(8L -> 1, 24L -> 1, 25L -> 1, 30L -> 1,
+      32L -> 1, 33L -> 2, 56L -> 2, 57L -> 3))
+  }
+
+  test("sequence packing matches an independent concatenate-and-cut " +
+    "recomputation and the bins partition the corpus token-exactly") {
     val docs = Tables.documents(spark, sf0001)
       .select($"doc_id", $"lang", $"text")
       .as[(Long, String, String)].collect()
