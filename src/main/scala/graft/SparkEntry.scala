@@ -105,6 +105,8 @@ object SparkEntry {
         Some(StreamOps.streamEventWindowFilesSql)),
       ("q64_stateful_counts", StreamOps.statefulUserEventCounts _,
         Some(StreamOps.statefulUserEventCountsSql)),
+      ("q69_stream_ingest_neardup", StreamOps.streamIngestNeardup _,
+        Some(StreamOps.streamIngestNeardupSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

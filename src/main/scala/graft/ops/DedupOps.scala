@@ -73,6 +73,26 @@ object DedupOps {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)._1
 
+  /** The (doc_id, band, key) LSH index rows for an arbitrary
+    * (doc_id, text) frame — the q21 band construction (2 bands × 4
+    * concatenated minima) as a reusable single-pass plan (sig once,
+    * bands via explode — no second scan of the source), shared with
+    * the streaming ingest probe (q69). Works on batch and streaming
+    * frames alike. */
+  private[graft] def bandFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    def key(lo: Int): String =
+      (lo until lo + 4).map(p => s"sg.mins[$p]").mkString("concat(", ", ", ")")
+    docs.where(length($"text") >= 5)
+      .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
+      .select($"doc_id", explode(expr(
+        s"array(struct(0 AS band, ${key(0)} AS key), " +
+          s"struct(1 AS band, ${key(4)} AS key))")).as("bk"))
+      .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
+  }
+
   /** Shared implementation returning (pairs, cached signature frame) —
     * q48 materializes the pairs and then unpersists the signature
     * cache (the per-doc shingle arrays are the dominant memory
@@ -121,7 +141,7 @@ object DedupOps {
   /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
     * oracles (ends after `sizes`; callers append further CTEs or the
     * final SELECT). */
-  private def minhashCtes: String = {
+  private[graft] def minhashCtes: String = {
     val minCols = (0 until nPerms)
       .map(p => s"min(substr(md5(shingle), ${p * 4 + 1}, 4)) m$p")
       .mkString(", ")

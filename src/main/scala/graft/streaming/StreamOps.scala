@@ -278,4 +278,50 @@ object StreamOps {
     drainToTable(s, deduped, "graft_stream_dedup", "append")
       .select($"event_id", $"user_id", $"event_type", $"ts")
   }
+
+  /** The documents table as a file-source stream (the ingest feed of
+    * a continuously-crawled corpus). */
+  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/documents.parquet")
+    s.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", "documents.parquet")
+      .parquet(dir)
+  }
+
+  /** q69 — streaming ingest near-dup gate (the continuous-ingestion
+    * form of q21's MinHash+LSH): newly arriving documents — the
+    * deterministic `doc_id % 10 = 0` ingest slice — stream in from
+    * the file source, compute their LSH band keys with the same
+    * native `minhash_sig` kernel, and probe the STATIC corpus band
+    * index (built in batch from the already-ingested 90%). The join
+    * is stream-static and therefore STATELESS: no watermark and no
+    * state-store growth — each micro-batch probes the index and
+    * emits its candidate (new, corpus) pairs; the post-drain
+    * `distinct` collapses any cross-batch re-emission.
+    *
+    * Scale shape: the index is one row per corpus doc per band
+    * (key = 4 concatenated 16-bit minima — tiny next to the text it
+    * summarizes), bucketed or broadcast by size; the arriving side's
+    * signatures are zero-shuffle per-row kernels, so a micro-batch
+    * costs sig + an equi-join probe. Nothing is all-pairs; streaming
+    * state is zero, so the query runs forever without compaction. */
+  def streamIngestNeardup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val corpus = graft.ops.DedupOps.bandFrame(
+      graft.Tables.documents(s, dir).where($"doc_id" % 10 =!= 0))
+    val arriving = graft.ops.DedupOps.bandFrame(
+      documentsStream(s, dir).where($"doc_id" % 10 === 0))
+    val matches = arriving.as("n").join(corpus.as("c"),
+        $"n.band" === $"c.band" && $"n.key" === $"c.key")
+      .select($"n.doc_id".as("doc_new"), $"c.doc_id".as("doc_corpus"))
+    drainToTable(s, matches, "graft_stream_ingest", "append").distinct()
+  }
+
+  val streamIngestNeardupSql: String =
+    graft.ops.DedupOps.minhashCtes +
+      """
+        |SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
+        |FROM bands s JOIN bands c ON s.band = c.band AND s.key = c.key
+        |WHERE s.doc_id % 10 = 0 AND c.doc_id % 10 <> 0""".stripMargin
 }

@@ -105,6 +105,26 @@ class StreamingSpec extends SparkSpec {
     assert(d.count() == expected)
   }
 
+  test("streaming ingest near-dup probe equals the batch band join " +
+      "and is non-vacuous") {
+    import graft.ops.DedupOps
+    val got = StreamOps.streamIngestNeardup(spark, sf0001)
+      .as[(Long, Long)].collect().toSet
+    val docs = Tables.documents(spark, sf0001)
+    val corpus = DedupOps.bandFrame(docs.where($"doc_id" % 10 =!= 0))
+    val arriving = DedupOps.bandFrame(docs.where($"doc_id" % 10 === 0))
+    val expected = arriving.as("n").join(corpus.as("c"),
+        $"n.band" === $"c.band" && $"n.key" === $"c.key")
+      .select($"n.doc_id", $"c.doc_id").distinct()
+      .as[(Long, Long)].collect().toSet
+    assert(got == expected)
+    // the probe must actually fire at this SF — an empty pair set
+    // would make the equality above vacuous
+    assert(got.nonEmpty)
+    // sides never mix: new docs only on the left, corpus on the right
+    assert(got.forall { case (n, c) => n % 10 == 0 && c % 10 != 0 })
+  }
+
   test("stateful flatMapGroupsWithState counts equal batch aggregates") {
     val st = StreamOps.statefulUserCounts(spark, sf0001)
     val batch = Tables.events(spark, sf0001)
