@@ -96,6 +96,8 @@ object SparkEntry {
         Some(TextOps.chunkWindowsSql)),
       ("q68_sequence_pack", TextOps.sequencePack _,
         Some(TextOps.sequencePackSql)),
+      ("q70_mixture_weights", TextOps.mixtureWeights _,
+        Some(TextOps.mixtureWeightsSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

@@ -835,6 +835,49 @@ object TextOps {
        |  FROM documents)
        |GROUP BY 1, 2""".stripMargin
 
+  /** q70 — corpus mixture weights (the sampling-distribution stage of
+    * data mixing): temperature-scaled language weights
+    * `w_l ∝ (n_l)^(1/T)` with T = 2, i.e. `sqrt(n_l)` — the standard
+    * up-weighting of under-resourced languages. T = 2 is chosen so
+    * the exponent is `sqrt`, which IEEE 754 requires to be correctly
+    * rounded — bit-identical across engines, unlike `pow`'s
+    * implementation-defined last bit. The normalizer is the sum of
+    * sqrts accumulated IN LANGUAGE ORDER via a running-sum window
+    * (`ROWS UNBOUNDED PRECEDING`), not a free-order aggregate, so the
+    * floating-point addition sequence — and therefore every output
+    * bit — is pinned on both engines; the final weight is one IEEE
+    * division of identical operands.
+    *
+    * Scale shape: the only corpus-sized work is the (lang) count
+    * rollup (map-side combinable); everything after operates on a
+    * language-cardinality frame, so the single-partition windows cost
+    * nothing. */
+  def mixtureWeights(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val cum = Window.orderBy($"lang")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables.documents(s, dir)
+      .groupBy($"lang").agg(count(lit(1)).as("n_docs"))
+      .withColumn("s", sqrt($"n_docs".cast("double")))
+      .withColumn("denom", max(sum($"s").over(cum)).over(all))
+      .select($"lang", $"n_docs", ($"s" / $"denom").as("weight"))
+  }
+
+  val mixtureWeightsSql: String =
+    """WITH c AS (
+      |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+      |  FROM documents GROUP BY 1
+      |), w AS (
+      |  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS s FROM c
+      |), d AS (
+      |  SELECT lang, n_docs, s,
+      |    SUM(s) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum
+      |  FROM w
+      |)
+      |SELECT lang, n_docs, s / MAX(cum) OVER () AS weight FROM d""".stripMargin
+
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

@@ -291,6 +291,30 @@ class TextOpsSpec extends SparkSpec {
     }
   }
 
+  test("mixture weights match an independent sqrt-temperature " +
+      "recomputation bit-for-bit and form a distribution") {
+    val counts = Tables.documents(spark, sf0001)
+      .groupBy($"lang").count()
+      .as[(String, Long)].collect().sortBy(_._1)
+    // same addition order as the windowed normalizer: language order
+    var denom = 0.0
+    counts.foreach { case (_, n) => denom += math.sqrt(n.toDouble) }
+    val expected = counts.map { case (lang, n) =>
+      (lang, n, math.sqrt(n.toDouble) / denom)
+    }.toSet
+    val got = TextOps.mixtureWeights(spark, sf0001)
+      .as[(String, Long, Double)].collect().toSet
+    assert(got == expected) // exact equality — sqrt/ordered-sum/div only
+    val ws = got.toSeq.map(_._3)
+    assert(ws.forall(w => w > 0 && w < 1))
+    assert(math.abs(ws.sum - 1.0) < 1e-9)
+    // temperature flattens: rarest lang gains share, commonest loses
+    val byCount = got.toSeq.sortBy(_._2)
+    val total = counts.map(_._2).sum.toDouble
+    assert(byCount.head._3 > byCount.head._2 / total)
+    assert(byCount.last._3 < byCount.last._2 / total)
+  }
+
   test("chunk boundary lengths: docs in the dead zone (stride < n ≤ " +
       "stride + overlap) yield ONE chunk, one past it yields two") {
     // 30 tokens sits between stride 24 and stride+overlap 32: a chunk
