@@ -73,23 +73,32 @@ object DedupOps {
   def minhashLsh(s: SparkSession, dir: String): DataFrame =
     minhashPairs(s, dir)._1
 
+  /** The two LSH band keys (band id → concatenated minima slice) from
+    * a minima accessor — the SINGLE definition of the banding scheme.
+    * Both the batch pipeline (q21/q48, via its cached sig columns)
+    * and the streaming ingest probe (q69, via the struct field)
+    * derive their buckets from this list, so band count, slice width,
+    * and key layout cannot drift between them. Indices cover
+    * [[nPerms]] minima: 2 bands × 4. */
+  private def bandKeys(min: Int => Column): Seq[(Int, Column)] = Seq(
+    0 -> concat(min(0), min(1), min(2), min(3)),
+    1 -> concat(min(4), min(5), min(6), min(7)))
+
   /** The (doc_id, band, key) LSH index rows for an arbitrary
-    * (doc_id, text) frame — the q21 band construction (2 bands × 4
-    * concatenated minima) as a reusable single-pass plan (sig once,
-    * bands via explode — no second scan of the source), shared with
-    * the streaming ingest probe (q69). Works on batch and streaming
-    * frames alike. */
+    * (doc_id, text) frame — the [[bandKeys]] banding as a reusable
+    * single-pass plan (sig once, bands via explode — no second scan
+    * of the source), shared with the streaming ingest probe (q69).
+    * Works on batch and streaming frames alike. */
   private[graft] def bandFrame(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.Functions.register(s)
-    def key(lo: Int): String =
-      (lo until lo + 4).map(p => s"sg.mins[$p]").mkString("concat(", ", ", ")")
+    val bk = array(bandKeys(p => $"sg.mins".getItem(p)).map {
+      case (b, k) => struct(lit(b).as("band"), k.as("key"))
+    }: _*)
     docs.where(length($"text") >= 5)
       .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
-      .select($"doc_id", explode(expr(
-        s"array(struct(0 AS band, ${key(0)} AS key), " +
-          s"struct(1 AS band, ${key(4)} AS key))")).as("bk"))
+      .select($"doc_id", explode(bk).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
   }
 
@@ -112,10 +121,9 @@ object DedupOps {
     // verify join twice more; a cold cache would recompute the
     // per-doc shingle/digest arrays once per concurrent scan
     sig.count()
-    val bands = sig.select($"doc_id", lit(0).as("band"),
-        concat($"m0", $"m1", $"m2", $"m3").as("key"))
-      .union(sig.select($"doc_id", lit(1).as("band"),
-        concat($"m4", $"m5", $"m6", $"m7").as("key")))
+    val bands = bandKeys(p => col(s"m$p")).map { case (b, k) =>
+      sig.select($"doc_id", lit(b).as("band"), k.as("key"))
+    }.reduce(_ union _)
     val a = bands.as("a"); val b = bands.as("b")
     val cand = a.join(b,
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
@@ -138,10 +146,11 @@ object DedupOps {
     (pairs, sig)
   }
 
-  /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
-    * oracles (ends after `sizes`; callers append further CTEs or the
-    * final SELECT). */
-  private[graft] def minhashCtes: String = {
+  /** The shingle → signature → bands prefix of the minhash WITH-chain
+    * — everything a band-bucket consumer needs. The streaming ingest
+    * oracle (q69) stops here; [[minhashCtes]] appends the exact-
+    * Jaccard verification tail for the batch dedup oracles. */
+  private[graft] def minhashBandCtes: String = {
     val minCols = (0 until nPerms)
       .map(p => s"min(substr(md5(shingle), ${p * 4 + 1}, 4)) m$p")
       .mkString(", ")
@@ -156,7 +165,14 @@ object DedupOps {
        |  SELECT doc_id, 0 AS band, m0||m1||m2||m3 AS key FROM sig
        |  UNION ALL
        |  SELECT doc_id, 1, m4||m5||m6||m7 FROM sig
-       |), cand AS (
+       |)""".stripMargin
+  }
+
+  /** The WITH-chain of the minhash pipeline, shared by the q21 and q48
+    * oracles (ends after `pairs`; callers append further CTEs or the
+    * final SELECT). */
+  private[graft] def minhashCtes: String =
+    minhashBandCtes + s""", cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
@@ -174,7 +190,6 @@ object DedupOps {
        |  FROM inter i
        |  JOIN sizes za ON za.doc_id = i.doc_a
        |  JOIN sizes zb ON zb.doc_id = i.doc_b)""".stripMargin
-  }
 
   val minhashLshSql: String =
     minhashCtes + "\nSELECT doc_a, doc_b, jaccard FROM pairs"

@@ -455,15 +455,23 @@ object SimilarityOps {
         lit(1).as("hit"))
     val approx = tagged("ivf_quantized", annQuantized(s, dir))
       .union(tagged("ivf_multiprobe", annMultiProbe(s, dir)))
-    pairsTopK(s, dir, sameLabelOnly = false, k = 3)
+    val agged = pairsTopK(s, dir, sameLabelOnly = false, k = 3)
       .select($"vec_id", $"neighbor_id")
       .crossJoin(broadcast(methods))
       .join(approx, Seq("method", "vec_id", "neighbor_id"), "left")
-      .groupBy($"method", $"floor")
-      .agg(count(lit(1)).as("total"), count($"hit").as("hits"))
-      .select($"method", $"hits", $"total",
-        ($"hits".cast("double") / $"total".cast("double")).as("recall"),
-        $"floor", ($"hits".cast("double") / $"total".cast("double") >=
+      .groupBy($"method")
+      .agg(count(lit(1)).as("t"), count($"hit").as("h"))
+    // one row per method even over an EMPTY truth set — the oracle's
+    // GROUP-BY-less aggregate always emits its two method rows, so the
+    // method dim drives the output and an absent group reads as
+    // (hits 0, total 0, recall NULL, pass NULL), same as DuckDB's
+    // COUNT(*)=0 row
+    methods.join(agged, Seq("method"), "left")
+      .select($"method",
+        coalesce($"h", lit(0L)).as("hits"),
+        coalesce($"t", lit(0L)).as("total"),
+        ($"h".cast("double") / $"t".cast("double")).as("recall"),
+        $"floor", ($"h".cast("double") / $"t".cast("double") >=
           $"floor").as("pass"))
   }
 

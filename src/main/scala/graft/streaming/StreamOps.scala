@@ -31,14 +31,22 @@ object StreamOps {
     * micros; a real timestamp column streams as-is. The batch path
     * branches on the actual schema — the stream must too, or it
     * breaks on files the batch queries process fine. */
+  /** A table's parquet file as a file-source stream: batch-read for
+    * the schema, then a glob-filtered readStream over the directory —
+    * the one scaffold every streaming source here shares. */
+  private def fileStream(s: SparkSession, dir: String,
+      table: String): DataFrame = {
+    val raw = s.read.parquet(s"$dir/$table.parquet")
+    s.readStream
+      .schema(raw.schema)
+      .option("pathGlobFilter", s"$table.parquet")
+      .parquet(dir)
+  }
+
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = s.read.parquet(s"$dir/events.parquet")
-    val stream = s.readStream
-      .schema(raw.schema)
-      .option("pathGlobFilter", "events.parquet")
-      .parquet(dir)
-    if (raw.schema("ts").dataType ==
+    val stream = fileStream(s, dir, "events")
+    if (stream.schema("ts").dataType ==
         org.apache.spark.sql.types.LongType)
       stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else stream
@@ -279,16 +287,6 @@ object StreamOps {
       .select($"event_id", $"user_id", $"event_type", $"ts")
   }
 
-  /** The documents table as a file-source stream (the ingest feed of
-    * a continuously-crawled corpus). */
-  private def documentsStream(s: SparkSession, dir: String): DataFrame = {
-    val raw = s.read.parquet(s"$dir/documents.parquet")
-    s.readStream
-      .schema(raw.schema)
-      .option("pathGlobFilter", "documents.parquet")
-      .parquet(dir)
-  }
-
   /** q69 — streaming ingest near-dup gate (the continuous-ingestion
     * form of q21's MinHash+LSH): newly arriving documents — the
     * deterministic `doc_id % 10 = 0` ingest slice — stream in from
@@ -308,18 +306,26 @@ object StreamOps {
     * state is zero, so the query runs forever without compaction. */
   def streamIngestNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    // the index is persisted so later micro-batches PROBE it instead
+    // of re-hashing the whole corpus each trigger (in a deployment it
+    // would be a materialized table maintained by the batch pipeline)
     val corpus = graft.ops.DedupOps.bandFrame(
       graft.Tables.documents(s, dir).where($"doc_id" % 10 =!= 0))
-    val arriving = graft.ops.DedupOps.bandFrame(
-      documentsStream(s, dir).where($"doc_id" % 10 === 0))
-    val matches = arriving.as("n").join(corpus.as("c"),
-        $"n.band" === $"c.band" && $"n.key" === $"c.key")
-      .select($"n.doc_id".as("doc_new"), $"c.doc_id".as("doc_corpus"))
-    drainToTable(s, matches, "graft_stream_ingest", "append").distinct()
+      .persist()
+    try {
+      val arriving = graft.ops.DedupOps.bandFrame(
+        fileStream(s, dir, "documents").where($"doc_id" % 10 === 0))
+      val matches = arriving.as("n").join(corpus.as("c"),
+          $"n.band" === $"c.band" && $"n.key" === $"c.key")
+        .select($"n.doc_id".as("doc_new"), $"c.doc_id".as("doc_corpus"))
+      // the drained memory-sink table is already materialized, so the
+      // returned frame no longer depends on the persisted index
+      drainToTable(s, matches, "graft_stream_ingest", "append").distinct()
+    } finally corpus.unpersist()
   }
 
   val streamIngestNeardupSql: String =
-    graft.ops.DedupOps.minhashCtes +
+    graft.ops.DedupOps.minhashBandCtes +
       """
         |SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
         |FROM bands s JOIN bands c ON s.band = c.band AND s.key = c.key

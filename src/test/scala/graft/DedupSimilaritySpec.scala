@@ -106,6 +106,26 @@ class DedupSimilaritySpec extends SparkSpec {
       rows("ivf_quantized").getAs[Double]("recall"))
   }
 
+  test("q66 empty truth set: one row per method with NULL recall/pass, " +
+      "matching the oracle's GROUP-BY-less aggregate shape") {
+    // a single vector has no non-self pairs, so the brute-force truth
+    // is empty; the method dimension must still drive 2 output rows
+    // (DuckDB's aggregate emits COUNT(*)=0 rows — verified 0.0/0.0
+    // division yields NULL there, as the null-propagating division
+    // does here)
+    val one = Tables.embeddings(spark, sf0001).limit(1)
+    val tmp = java.nio.file.Files.createTempDirectory("onevec").toString
+    one.write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = SimilarityOps.annRecall(spark, tmp).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("hits") == 0L)
+      assert(r.getAs[Long]("total") == 0L)
+      assert(r.isNullAt(r.fieldIndex("recall")))
+      assert(r.isNullAt(r.fieldIndex("pass")))
+    }
+  }
+
   test("q56 Lloyd refinement: the spherical-kmeans objective is " +
       "monotone over rounds and strictly covers the seed assignment") {
     def objective(rounds: Int): Double =
