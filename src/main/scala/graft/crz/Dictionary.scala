@@ -27,9 +27,14 @@ object Dictionary {
       path: String): DataFrame =
     s.read.text(path)
       .where(!col("value").rlike("^[0-9]+$"))
-      .select(substring_index(col("value"), "/", 1).as("word"),
-        when(col("value").contains("/"),
-          substring_index(col("value"), "/", -1)).as("flags"))
+      // the entry is the line's first whitespace-token: hunspell .dic
+      // lines may carry tab/space-separated morphological fields
+      // ('slovo/12\tpo:noun') which are not part of the word or flags
+      .select(regexp_extract(col("value"), "^\\S+", 0).as("entry"))
+      .where(col("entry") =!= "")
+      .select(substring_index(col("entry"), "/", 1).as("word"),
+        when(col("entry").contains("/"),
+          substring_index(col("entry"), "/", -1)).as("flags"))
 
   /** F21 — Slovak-alphabet tokenizer (05_build:22-38): split on any
     * run of characters outside the Slovak alphabet. */
@@ -60,19 +65,29 @@ object Dictionary {
     * the very columns the price-table gate exists to keep. At least
     * one digit is required so punctuation-only tokens ('-', '€€€',
     * '...') stay misspelled — hunspell accepts numbers, not bare
-    * punctuation, and a column of dash placeholders IS a dummy column. */
-  val numericTokenPattern = "^[0-9., €%-]+$"
+    * punctuation, and a column of dash placeholders IS a dummy column.
+    * The class includes NBSP (U+00A0) and narrow NBSP (U+202F):
+    * Slovak number formatting uses them as thousands separators
+    * ('1 000,00'), and the \\s+ cell tokenizer upstream does not
+    * split on them — without these two characters every NBSP-formatted
+    * price column would score wrong_ratio 1.0 and be dropped as dummy,
+    * the exact failure this rule exists to prevent. */
+  val numericTokenPattern = "^[0-9., \u00A0\u202F€%-]+$"
   private val hasDigit = "[0-9]"
 
   /** Parse the REP table of a hunspell `.aff` file (sk_SK.aff's 52
-    * rules) into (rep_from, rep_to) rows. The `REP <count>` header
-    * line has only two tokens and is excluded by the three-token
-    * pattern. */
+    * rules) into (rep_from, rep_to) rows. The `REP <count>` header is
+    * excluded by shape: two tokens, or an all-digit count followed by
+    * a comment (`REP 52 # substitutions`) — the same real-world
+    * trailing-comment tolerance [[loadAffixRules]] applies to its
+    * block headers. */
   def loadRepRules(s: org.apache.spark.sql.SparkSession,
       path: String): DataFrame =
     s.read.text(path)
       .where(col("value").rlike("^REP\\s+\\S+\\s+\\S+"))
       .select(split(col("value"), "\\s+").as("p"))
+      .where(!(element_at(col("p"), 2).rlike("^[0-9]+$") &&
+        element_at(col("p"), 3).rlike("^#")))
       .select(element_at(col("p"), 2).as("rep_from"),
         element_at(col("p"), 3).as("rep_to"))
 
@@ -83,15 +98,33 @@ object Dictionary {
     * pass membership. This narrows, not closes, the gap to full affix
     * morphology: REP is hunspell's substitution table, applied here to
     * ALL occurrences per rule (one rule per variant, like hunspell's
-    * one-REP suggestion step). Dictionary-side-only work: wordlist ×
-    * rules happens once on the dim side, before broadcast — the corpus
-    * never pays for it. */
+    * one-REP suggestion step). Hunspell's REP anchors are honored:
+    * `^from` replaces a prefix, `from$` a suffix, `^from$` the whole
+    * word — anchored entries were previously inert because the anchor
+    * characters were searched as literals. Dictionary-side-only work:
+    * wordlist × rules happens once on the dim side, before broadcast —
+    * the corpus never pays for it. */
   def expandWithRep(dictionary: DataFrame, repRules: DataFrame): DataFrame = {
     val base = dictionary.select(lower(col("word")).as("word"))
+    val pre = col("rep_from").startsWith("^")
+    val suf = col("rep_from").endsWith("$")
     val expanded = base
       .crossJoin(broadcast(repRules))
-      .where(col("word").contains(col("rep_from")))
-      .select(replace(col("word"), col("rep_from"), col("rep_to")).as("word"))
+      .withColumn("core", regexp_replace(col("rep_from"), "^\\^|\\$$", ""))
+      .where(
+        when(pre && suf, col("word") === col("core"))
+          .when(pre, col("word").startsWith(col("core")))
+          .when(suf, col("word").endsWith(col("core")))
+          .otherwise(col("word").contains(col("core"))))
+      .select(
+        when(pre && suf, col("rep_to"))
+          .when(pre, concat(col("rep_to"),
+            expr("substring(word, length(core) + 1)")))
+          .when(suf, concat(
+            expr("substring(word, 1, length(word) - length(core))"),
+            col("rep_to")))
+          .otherwise(replace(col("word"), col("core"), col("rep_to")))
+          .as("word"))
     base.union(expanded).distinct()
   }
 
@@ -251,7 +284,7 @@ object Dictionary {
     * wordlists. */
   def expandWithAffixes(dictionary: DataFrame, affixRules: DataFrame,
       flagAware: Boolean = true,
-      flagMode: String = "num"): DataFrame = {
+      flagMode: String = "char"): DataFrame = {
     val base =
       if (dictionary.columns.contains("flags"))
         dictionary.select(lower(col("word")).as("word"), col("flags"))
@@ -262,12 +295,14 @@ object Dictionary {
     val pfx = affixRules.where(col("kind") === "PFX")
     // single-affix forms, plus the suffixed cross-candidates re-run
     // through the cross-capable prefix rules (flag gating stays on
-    // the STEM's flags, which applyAffixRules preserves)
+    // the STEM's flags, which applyAffixRules preserves). The cross
+    // pass REUSES the suffixed frame — applyAffixRules emits the
+    // applied rule's `cross` flag, so filtering it is the same row
+    // set as re-running the cross-capable suffix rules over the base,
+    // without paying the wordlist × SFX-rules join twice
     val suffixed = applyAffixRules(base, sfx, flagAware, flagMode)
     val prefixed = applyAffixRules(base, pfx, flagAware, flagMode)
-    val crossed = applyAffixRules(
-      applyAffixRules(base, sfx.where(col("cross")), flagAware,
-        flagMode),
+    val crossed = applyAffixRules(suffixed.where(col("cross")),
       pfx.where(col("cross")), flagAware, flagMode)
     // two-step chains: forms whose rule carried a continuation class
     // re-enter one more pass with the CLASS as their flags (stem
@@ -317,15 +352,27 @@ object Dictionary {
       .where(
         if (flagAware) array_contains(flagArr, col("flag"))
         else lit(true))
+      // hunspell refuses to strip a word to nothing unless the .aff
+      // declares FULLSTRIP (sk_SK.aff does not; the option is not
+      // supported here) — without the guard `SFX 8 a y a` over the
+      // word 'a' would accept the bare append 'y'
+      .where(length(col("word")) > length(col("strip")))
+      // the cond fragment is wrapped in a non-capturing group before
+      // anchoring: hunspell conds are literal/class sequences (never
+      // alternation), but an unparenthesized fragment containing a
+      // regex metacharacter would silently bind tighter than the
+      // anchor. A cond that is not a valid regex fails the job loudly
+      // — the conflicting-FLAG posture: corrupt dictionaries are
+      // errors, not guesses
       .where(
         when(col("kind") === "SFX",
           col("word").endsWith(col("strip")) &&
             (col("cond") === "." ||
-              expr("word RLIKE concat(cond, '$')")))
+              expr("word RLIKE concat('(?:', cond, ')$')")))
           .otherwise(
             col("word").startsWith(col("strip")) &&
               (col("cond") === "." ||
-                expr("word RLIKE concat('^', cond)"))))
+                expr("word RLIKE concat('^(?:', cond, ')')"))))
       .select(
         when(col("kind") === "SFX",
           concat(expr("substring(word, 1, length(word) - length(strip))"),
@@ -333,7 +380,7 @@ object Dictionary {
           .otherwise(concat(col("append"),
             expr("substring(word, length(strip) + 1)")))
           .as("word"),
-        col("flags"), col("cont"))
+        col("flags"), col("cont"), col("cross"))
   }
 
   /** F22 — spell(word): broadcast-set membership column (used by the

@@ -447,7 +447,10 @@ class CrzSpec extends SparkSpec {
       $"strip" === "" && $"append" === "naj" && $"cross").count() == 1)
     assert(rules.where($"kind" === "SFX" && $"flag" === "9" &&
       !$"cross").count() == 1)
-    val expanded = Dictionary.expandWithAffixes(dic, rules)
+    // flagMode is explicit: the fixture uses FLAG num flags, while the
+    // function default is hunspell's directive-less default ("char")
+    val expanded = Dictionary.expandWithAffixes(dic, rules,
+      flagMode = "num")
     def known(w: String): Boolean =
       Dictionary.spellOk(Seq(w).toDF("word"), expanded)
         .select("known").as[Boolean].head()
@@ -562,6 +565,55 @@ class CrzSpec extends SparkSpec {
       flagAware = false).as[String].collect().toSet
     assert(blind("workable") && blind("workness"))
     assert(!blind("workableness"))
+  }
+
+  test("F22 dictionary robustness: morph fields, anchored REP, " +
+      "commented REP header, full-strip refusal, NBSP prices, " +
+      "char default") {
+    import spark.implicits._
+    // .dic morphological fields after the entry are not word or flags
+    val dic = Dictionary.loadDic(spark, tmpFile(".dic",
+      "3", "slovo/12\tpo:noun", "dom po:noun", "cena/3"))
+    val byWord = dic.collect()
+      .map(r => r.getString(0) -> Option(r.getString(1))).toMap
+    assert(byWord("slovo") == Some("12"))
+    assert(byWord("dom") == None)
+    assert(byWord("cena") == Some("3"))
+    // anchored REP entries: prefix, suffix, whole-word — and the
+    // commented count header is not a rule
+    val rep = Dictionary.loadRepRules(spark, tmpFile(".aff",
+      "REP 3 # substitutions",
+      "REP ^f ph",
+      "REP ou$ ow",
+      "REP ^celo$ cele"))
+    assert(rep.count() == 3)
+    val rexp = Dictionary.expandWithRep(
+      Seq("fyzika", "bacou", "celo").toDF("word"), rep)
+      .as[String].collect().toSet
+    assert(rexp("phyzika")) // ^f rewrites the prefix
+    assert(rexp("bacow"))   // ou$ rewrites the suffix
+    assert(rexp("cele"))    // ^celo$ rewrites the whole word
+    assert(!rexp.exists(w => w.contains("^") || w.contains("$")))
+    // full strip is refused without FULLSTRIP: 'a' + `SFX 8 a y a`
+    // must NOT accept the bare append 'y'
+    val frules = Dictionary.loadAffixRules(spark, tmpFile(".aff",
+      "SFX 8 Y 1", "SFX 8 a y a"))
+    val full = Dictionary.expandWithAffixes(
+      Seq(("a", "8"), ("zmluva", "8")).toDF("word", "flags"), frules,
+      flagMode = "num").as[String].collect().toSet
+    assert(full("zmluvy"))
+    assert(!full("y"))
+    // NBSP / narrow-NBSP thousands separators count as numeric tokens
+    val prices = Seq("1\u00A0000,00", "1\u202F000\u00A0€").toDF("word")
+    assert(Dictionary.spellOk(prices, Seq("x").toDF("word"))
+      .select("known").as[Boolean].collect().forall(identity))
+    // the flagMode default is hunspell's directive-less default: char
+    val crules = Dictionary.loadAffixRules(spark, tmpFile(".aff",
+      "SFX A Y 1", "SFX A 0 s ."))
+    val cexp = Dictionary.expandWithAffixes(
+      Seq(("kniha", "AB")).toDF("word", "flags"), crules)
+      .as[String].collect().toSet
+    assert(cexp("knihas"))
   }
 
   test("F22 FLAG long: two-character flags parse as pairs — " +
