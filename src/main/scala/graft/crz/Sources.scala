@@ -14,11 +14,17 @@ import org.apache.spark.sql.functions._
 object Sources {
 
   /** S6 — pipe-CSV scan, all-string, explicit schema (the reference's
-    * dtype=str reads: 02_filter_by_CIN.py:94 etc.). */
+    * dtype=str reads: 02_filter_by_CIN.py:94 etc.). escape = quote
+    * selects RFC-4180 doubled-quote decoding — the dialect pandas
+    * writes (doublequote=True is its default) — instead of Spark's
+    * backslash-escape default, which would leave `""` undecoded in
+    * exactly the apostrophe/quote-bearing cells the legacy-list
+    * parser exists for. */
   def readPipeCsv(s: SparkSession, path: String): DataFrame =
     s.read
       .option("sep", "|")
       .option("header", "true")
+      .option("escape", "\"")
       .schema(Schemas.rawCsv)
       .csv(path)
 
@@ -40,14 +46,25 @@ object Sources {
     * `landed`: one `fetch_date` (DATE) row per already-downloaded
     * day — typically a projection of the landing directory listing. */
   def dumpFetchPlan(s: SparkSession, start: String, end: String,
-      landed: DataFrame): DataFrame =
-    s.sql(s"SELECT explode(sequence(DATE'$start', DATE'$end', " +
-        "INTERVAL 1 DAY)) AS fetch_date")
+      landed: DataFrame): DataFrame = {
+    // validate driver-side (the range comes from user-facing config):
+    // a malformed or inverted range is a clear error here, not an
+    // AnalysisException from inside sequence(); the dates reach SQL
+    // as named parameters, never by string interpolation
+    val s0 = java.time.LocalDate.parse(start)
+    val e0 = java.time.LocalDate.parse(end)
+    require(!s0.isAfter(e0), s"empty dump fetch range: $start > $end")
+    s.sql("SELECT explode(sequence(to_date(:s), to_date(:e), " +
+        "INTERVAL 1 DAY)) AS fetch_date",
+        Map("s" -> start, "e" -> end))
       .join(landed.select(col("fetch_date").cast("date").as("fetch_date")),
         Seq("fetch_date"), "left_anti")
+      // the double slash and plain http are VERBATIM from the
+      // reference (00_download_CRZ_DB.py:206) — do not "fix" them
       .withColumn("url", concat(lit("http://www.crz.gov.sk//export/"),
         date_format(col("fetch_date"), "yyyy-MM-dd"), lit(".zip")))
       .orderBy(col("fetch_date"))
+  }
 
   /** S7 — quote-aware multiline CSV scan: the reference's hand-rolled
     * quote-parity newline repair (09_clean_tables.py:153-180) is just
@@ -56,6 +73,7 @@ object Sources {
     s.read
       .option("sep", "|").option("header", "true")
       .option("multiLine", "true").option("quote", "\"")
+      .option("escape", "\"") // RFC-4180 doubled quotes (pandas dialect)
       .csv(path)
 
   /** S3/S4 — recovering XML scan: rowTag=zmluva with PERMISSIVE mode;
@@ -64,6 +82,11 @@ object Sources {
     * files to Corrupted_XML_files/ (01_parse_xml.py:197-200); here the
     * quarantine is a DataFrame you can write anywhere. */
   def readContractsXml(s: SparkSession, path: String): (DataFrame, DataFrame) = {
+    // the cache is LOAD-BEARING, not an optimization: Spark disallows
+    // querying only _corrupt_record from a raw file scan, and callers
+    // may hold the quarantine frame indefinitely — so the handle must
+    // stay cached for the session (releasing a previous invocation's
+    // cache here was tried and breaks any still-held quarantine frame)
     val raw = s.read
       .format("xml")
       .option("rowTag", "zmluva")
@@ -217,10 +240,12 @@ object Sources {
   }
 
   /** S13 — suggested-keywords sink: `word\t\tweight`, weight desc
-    * (09_clean_tables.py:358-364). */
+    * (09_clean_tables.py:358-364). The word tiebreak keeps
+    * equal-weight line order deterministic across runs — a
+    * weight-only sort leaves ties to shuffle order. */
   def writeSuggestedKeywords(df: DataFrame, wordCol: String,
       weightCol: String, path: String): Unit =
-    df.orderBy(col(weightCol).desc)
+    df.orderBy(col(weightCol).desc, col(wordCol))
       .select(concat_ws("\t\t", col(wordCol), col(weightCol)))
       .coalesce(1).write.mode("overwrite").text(path)
 }

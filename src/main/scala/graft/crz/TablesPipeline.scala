@@ -27,7 +27,11 @@ object TablesPipeline {
 
   private def containsAny(c: org.apache.spark.sql.Column,
       kws: Seq[String]): org.apache.spark.sql.Column =
-    kws.map(k => lower(c).contains(k.toLowerCase)).reduce(_ || _)
+    // reduceOption: an empty keyword category (a plausible keywords.txt
+    // state) must read as "no hit", not crash query construction with
+    // a contextless empty.reduceLeft
+    kws.map(k => lower(c).contains(k.toLowerCase))
+      .reduceOption(_ || _).getOrElse(lit(false))
 
   /** Load one extracted-table pipe-CSV (camelot output shape,
     * FIXTURES.md A7) into the long cell frame. headerless read — row 0
@@ -52,7 +56,6 @@ object TablesPipeline {
     * wrong-ratio inputs (P11). One shuffle for every statistic. */
   def columnStats(cells: DataFrame, dictionary: DataFrame,
       kws: Keywords): DataFrame = {
-    val s = cells.sparkSession
     // spell ratio needs token-level membership: tokenize cells, check
     // against the broadcast dictionary, re-aggregate per column.
     val tokens = cells
@@ -94,26 +97,30 @@ object TablesPipeline {
 
   /** H1/A11 — header detection: keyword score of row 0 (> 2 ⇒ header,
     * 09_clean_tables.py:222-241); P14 — VAT flags on the header row.
-    * Row-0 cells are reassembled in column order (sort_array over a
-    * (col_idx, cell) struct) — a bare collect_list's order is shuffle-
-    * dependent and would make the score/VAT flags nondeterministic. */
+    * Both are PER-CELL, as the reference iterates column names
+    * (`column.count(keyword)`, `'s DPH' in column` — 09:236,342): a
+    * keyword straddling two adjacent header cells must not score, and
+    * 'bez' + 'DPH' split across cells is not a VAT flag. Per-cell
+    * sums/exists are order-independent, so no cell-order reassembly
+    * is needed for determinism. */
   def tableHeader(cells: DataFrame, kws: Keywords): DataFrame = {
     val s = cells.sparkSession
     Functions.register(s)
+    def sqlLit(k: String) = k.toLowerCase.replace("'", "\\'")
     val row0 = cells.where(col("row_idx") === 0)
       .groupBy(col("contract_id"), col("table_no"))
-      .agg(lower(array_join(expr(
-        "transform(sort_array(collect_list(struct(col_idx, cell))), x -> x.cell)"),
-        " ")).as("h"))
-    val score = kws.header.map(k =>
-      Functions.countOccurrences(col("h"), lit(k.toLowerCase)))
-      .reduce(_ + _)
+      .agg(expr("collect_list(lower(cell))").as("hcells"))
+    val score = kws.header.map(k => expr(
+      s"aggregate(hcells, 0L, (acc, c) -> acc + count_occurrences(c, '${sqlLit(k)}'))"))
+      .reduceOption(_ + _).getOrElse(lit(0L))
     row0
       .withColumn("header_score", score)
       .withColumn("has_header", col("header_score") > 2)                      // H1
-      .withColumn("vat_incl", col("h").contains("s dph"))                     // P14
-      .withColumn("vat_excl", col("h").contains("bez dph"))
-      .drop("h")
+      .withColumn("vat_incl",
+        expr("exists(hcells, c -> contains(c, 's dph'))"))                    // P14
+      .withColumn("vat_excl",
+        expr("exists(hcells, c -> contains(c, 'bez dph'))"))
+      .drop("hcells")
   }
 
   /** H3 + P13 — price-column identification and the price-table gate
@@ -129,7 +136,8 @@ object TablesPipeline {
   def tableGate(stats: DataFrame, header: DataFrame, cells: DataFrame,
       kws: Keywords): DataFrame = {
     val hdrPriceHit = kws.priceHeader
-      .map(k => col("cell").contains(k)).reduce(_ || _)
+      .map(k => col("cell").contains(k))
+      .reduceOption(_ || _).getOrElse(lit(false))
     val hdrHits = cells.where(col("row_idx") === 0)
       .select(col("contract_id"), col("table_no"), col("col_idx"),
         hdrPriceHit.as("hdr_price"))
@@ -210,7 +218,7 @@ object TablesPipeline {
         "transform(sort_array(collect_list(struct(row_idx, col_idx, cell))), " +
           "x -> x.cell)"), " ")).as("t"))
     text.crossJoin(broadcast(keywords))
-      .select(col("contract_id"), col("table_no"), col("category"),
+      .select(col("contract_id"), col("table_no"),
         Functions.countOccurrences(col("t"), lower(col("keyword")))
           .as("hits"))
       .groupBy(col("contract_id"), col("table_no"))

@@ -322,6 +322,34 @@ class CrzSpec extends SparkSpec {
     assert(!rows(2).getAs[Boolean]("has_header"))  // table 3: no keywords
   }
 
+  test("H1/P14 are per-cell, like the reference's per-column-name " +
+      "loops: a keyword straddling two header cells never scores") {
+    // cells ('cena spolu bez', 'dph') would join to '... bez dph' —
+    // the reference iterates column names ('s DPH' in column, 09:342),
+    // so the split form must NOT set the flag or score
+    def cells(row0: String*) =
+      row0.zipWithIndex.map { case (c, i) => ("c1", 1, 0, i, c) }
+        .toDF("contract_id", "table_no", "row_idx", "col_idx", "cell")
+    val split = TablesPipeline.tableHeader(
+      cells("cena spolu bez", "dph"), tableKws).head()
+    assert(!split.getAs[Boolean]("vat_excl"))
+    val whole = TablesPipeline.tableHeader(
+      cells("cena spolu bez dph"), tableKws).head()
+    assert(whole.getAs[Boolean]("vat_excl"))
+    // header keywords count per cell too: 'sadzba' and 'cena' in ONE
+    // cell each score, a straddle ('sadz' + 'ba') does not
+    assert(whole.getAs[Long]("header_score") == 1L) // 'cena' only
+    val straddle = TablesPipeline.tableHeader(
+      cells("pozícia sadz", "ba cena"), tableKws).head()
+    assert(straddle.getAs[Long]("header_score") == 2L) // pozícia + cena
+  }
+
+  test("S6/S7: RFC-4180 doubled quotes decode (the pandas dialect)") {
+    val p = tmpFile(".csv", "a|b", "1|\"x \"\"y\"\" z\"")
+    val row = Sources.readMultilineCsv(spark, p).head()
+    assert(row.getString(1) == "x \"y\" z")
+  }
+
   test("P10/P11/P12/H2/H3/P13: column stats drive drops and the price gate") {
     val dataCells = allCells.where($"row_idx" > 0) // stats on data rows
     val stats = TablesPipeline.columnStats(dataCells, spellDict, tableKws)
