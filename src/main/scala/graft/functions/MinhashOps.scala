@@ -26,56 +26,77 @@ object MinhashKernels {
     * Returns struct(ss: array&lt;string&gt; — the distinct shingles, for
     * exact-Jaccard verification; mins: array&lt;string&gt;[nPerms]).
     */
+  private val mdLocal =
+    ThreadLocal.withInitial[java.security.MessageDigest](() =>
+      java.security.MessageDigest.getInstance("MD5"))
+
   def sig(text: UTF8String, width: Int, nPerms: Int, sliceLen: Int): InternalRow = {
-    val n = text.numChars()
+    // ONE copy of the document's bytes; every shingle below is a
+    // zero-copy UTF8String view into this array, and the digest reads
+    // (offset, length) slices of it directly. The previous form called
+    // substringSQL per window — which rescans from byte 0 to find the
+    // codepoint offset, O(n²) per document — and then copied each
+    // shingle's bytes again for the digest. Window byte offsets are
+    // advanced incrementally (one numBytesForFirstByte per edge per
+    // step), so the whole pass is O(n).
+    val bytes = text.getBytes
+    val len = bytes.length
     val seen = new java.util.LinkedHashSet[UTF8String]()
-    var i = 1
-    while (i <= n - width + 1) {
-      seen.add(text.substringSQL(i, width))
-      i += 1
-    }
-    val md = java.security.MessageDigest.getInstance("MD5")
-    // running minimums kept as raw hex chars, compared in place — no
-    // per-shingle substring/string allocation (ASCII hex ordering ==
-    // UTF8String binary ordering)
+    val ssBuf = new java.util.ArrayList[AnyRef]()
+    val md = mdLocal.get()
     val mins = Array.ofDim[Char](nPerms, sliceLen)
     val minSet = new Array[Boolean](nPerms)
-    val ss = new Array[Any](seen.size())
     val hex = new Array[Char](32)
-    val it = seen.iterator()
-    var k = 0
-    while (it.hasNext) {
-      val shingle = it.next()
-      ss(k) = shingle
-      k += 1
-      md.reset()
-      val digest = md.digest(shingle.getBytes)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
-        hex(2 * j + 1) = hexChars(digest(j) & 0xf)
-        j += 1
+    // initial window: `width` codepoints from byte 0
+    var endB = 0
+    var cp = 0
+    while (cp < width && endB < len) {
+      endB += UTF8String.numBytesForFirstByte(bytes(endB))
+      cp += 1
+    }
+    var startB = 0
+    var more = cp == width && endB <= len
+    while (more) {
+      val shingle = UTF8String.fromBytes(bytes, startB, endB - startB)
+      if (seen.add(shingle)) {
+        ssBuf.add(shingle)
+        md.reset()
+        md.update(bytes, startB, endB - startB)
+        val digest = md.digest()
+        var j = 0
+        while (j < 16) {
+          hex(2 * j) = hexChars((digest(j) >> 4) & 0xf)
+          hex(2 * j + 1) = hexChars(digest(j) & 0xf)
+          j += 1
+        }
+        // running minimums kept as raw hex chars, compared in place —
+        // ASCII hex ordering == UTF8String binary ordering
+        var p = 0
+        while (p < nPerms) {
+          val off = p * sliceLen
+          val m = mins(p)
+          var cmp = if (minSet(p)) 0 else -1 // unset ⇒ adopt
+          var c = 0
+          while (cmp == 0 && c < sliceLen) {
+            cmp = Character.compare(hex(off + c), m(c))
+            c += 1
+          }
+          if (cmp < 0) {
+            var d = 0
+            while (d < sliceLen) { m(d) = hex(off + d); d += 1 }
+            minSet(p) = true
+          }
+          p += 1
+        }
       }
-      var p = 0
-      while (p < nPerms) {
-        val off = p * sliceLen
-        val m = mins(p)
-        var cmp = if (minSet(p)) 0 else -1 // unset ⇒ adopt
-        var c = 0
-        while (cmp == 0 && c < sliceLen) {
-          cmp = Character.compare(hex(off + c), m(c))
-          c += 1
-        }
-        if (cmp < 0) {
-          var d = 0
-          while (d < sliceLen) { m(d) = hex(off + d); d += 1 }
-          minSet(p) = true
-        }
-        p += 1
+      if (endB >= len) more = false
+      else {
+        startB += UTF8String.numBytesForFirstByte(bytes(startB))
+        endB += UTF8String.numBytesForFirstByte(bytes(endB))
       }
     }
     InternalRow(
-      new GenericArrayData(ss),
+      new GenericArrayData(ssBuf.toArray.asInstanceOf[Array[Any]]),
       new GenericArrayData(
         (0 until nPerms).map(p =>
           if (!minSet(p)) null
@@ -91,8 +112,10 @@ object NgramKernels {
     * UTF-8 bytes are ≥ 0x80, so a byte scan is codepoint-exact here),
     * join consecutive tokens with a space, dedupe preserving first-seen
     * order. Exactly `array_distinct` over
-    * `transform(sequence(1, size(ws)-1), i -> ws[i] || ' ' || ws[i+1])`
-    * with `ws = filter(split(lower(text), '[^a-z]+'), w -> w <> '')` —
+    * `transform(sequence(0, size(ws)-2), i -> ws[i] || ' ' || ws[i+1])`
+    * (0-based Spark subscripts; the DuckDB oracle writes the same with
+    * 1-based `range(1, len(ws))`) with
+    * `ws = filter(split(lower(text), '[^a-z]+'), w -> w <> '')` —
     * in one loop instead of four interpreted higher-order passes.
     */
   def bigrams(text: UTF8String): GenericArrayData = {

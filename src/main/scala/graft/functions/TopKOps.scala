@@ -57,6 +57,13 @@ final class TopKBuffer(val k: Int) {
   * window/row_number formulation shuffles every pair. Ordering is
   * (score DESC, id ASC) — deterministic, matching the q24/q25 oracle
   * tie-break. Returns array&lt;struct&lt;id, score&gt;&gt; ranked best-first.
+  *
+  * Null handling: rows with a NULL score or id are DROPPED (update()
+  * skips them), so the window equivalence the spec asserts holds for
+  * non-null inputs only — a `desc` window is NULLS LAST and would
+  * still RANK null-score rows, padding short groups where this
+  * aggregate returns fewer than k. The similarity pipelines feed it
+  * computed, never-null pairs.
   */
 case class TopKNeighbors(
     child: Expression,

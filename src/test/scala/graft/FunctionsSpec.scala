@@ -158,4 +158,59 @@ class FunctionsSpec extends SparkSpec {
       .foldLeft(0.0)(_ + _)
     assert(VecKernels.dotF(ad, bd) == fold)
   }
+
+  test("vec_dot NULL semantics: length mismatch and null elements " +
+      "poison the result (zip_with/list_zip convention), never truncate") {
+    Functions.register(spark)
+    val mism = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(mism.isNullAt(0))
+    val withNull = spark.sql(
+      "SELECT vec_dot(array(CAST(1.0 AS FLOAT), CAST(NULL AS FLOAT)), " +
+        "array(CAST(1.0 AS FLOAT), CAST(2.0 AS FLOAT))) AS d").head()
+    assert(withNull.isNullAt(0))
+  }
+
+  test("native functions fail analysis on wrong types and wrong arity, " +
+      "never compute silently") {
+    Functions.register(spark)
+    // a double array would read garbage through getFloat — must fail
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT vec_dot(array(1.0, 2.0), array(3.0, 0.5))").collect()
+    }
+    intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT count_occurrences(1, 'x')").collect()
+    }
+    // over-arity must not silently drop the extra argument
+    intercept[Exception] {
+      spark.sql("SELECT minhash_sig('abcdef', 7)").collect()
+    }
+    intercept[Exception] {
+      spark.sql("SELECT count_occurrences('a')").collect()
+    }
+  }
+
+  test("minhash_sig byte-offset windows equal the composed codepoint " +
+      "formulation on multibyte text") {
+    import spark.implicits._
+    Functions.register(spark)
+    // ž/ľ/é are 2-byte; the shingle windows must advance by CODEPOINT
+    val docs = Seq("žluťoučký kôň", "abcde", "ééééé", "abcd", "")
+      .toDF("text")
+    val native = docs.selectExpr(
+      "sort_array(minhash_sig(text).ss) AS ss", "minhash_sig(text).mins AS mins")
+    // the slow-but-obviously-correct twin: per-position codepoint
+    // substring (guarded — sequence(1, 0) would run DESCENDING)
+    val sh = "CASE WHEN char_length(text) >= 5 THEN " +
+      "array_distinct(transform(sequence(1, char_length(text) - 4), " +
+      "i -> substring(text, i, 5))) ELSE CAST(array() AS ARRAY<STRING>) END"
+    val composed = docs.selectExpr(
+      s"sort_array($sh) AS ss",
+      s"transform(sequence(0, 7), p -> array_min(transform($sh, " +
+        "s -> substring(md5(s), p * 4 + 1, 4)))) AS mins")
+    val n = native.collect().toSeq.map(_.toString)
+    val c = composed.collect().toSeq.map(_.toString)
+    assert(n == c)
+  }
 }
