@@ -36,7 +36,15 @@ object CleanFilter {
     * 02_filter_by_CIN.py:184-301). `kept` rows have reason 'kept'. */
   def withReason(contracts: DataFrame, companies: DataFrame,
       resorts: DataFrame, params: Params): DataFrame = {
-    val s = contracts.sparkSession
+    // fail a malformed minDate HERE, as a config error, not deep in
+    // the cascade: under ANSI (Spark 4 default) to_timestamp would
+    // abort mid-job with a DateTimeException far from the cause; with
+    // ANSI off it would read NULL and silently disable the date filter
+    require(
+      scala.util.Try(java.time.LocalDateTime.parse(params.minDate,
+        java.time.format.DateTimeFormatter
+          .ofPattern("yyyy-MM-dd HH:mm:ss"))).isSuccess,
+      s"minDate must be 'yyyy-MM-dd HH:mm:ss', got '${params.minDate}'")
     // broadcast the normalized membership sets (J1 list / J2 names)
     val icoSet = companies
       .select(normIco(col("ICO")).as("ico")).distinct()

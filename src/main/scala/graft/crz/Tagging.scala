@@ -33,7 +33,13 @@ object Tagging {
       .agg(lower(expr(
         "array_join(transform(sort_array(collect_list(struct(file, text)))," +
           " x -> x.text), ' ')")).as("t"))
-    docs.crossJoin(broadcast(keywords))
+    // distinct: a repeated keywords.txt line (plausible in a hand-
+    // maintained file) would otherwise double-count the category and
+    // Výskyty totals while the wide export's per-keyword pivot shows
+    // the single count — an internally inconsistent export row. The
+    // reference's dict-based taxonomy collapses duplicates by
+    // construction.
+    docs.crossJoin(broadcast(keywords.distinct()))
       .select(col("contract_id"), col("category"), col("keyword"),
         Functions.countOccurrences(col("t"), lower(col("keyword")))
           .as("hits"))
@@ -62,6 +68,12 @@ object Tagging {
     val totals = grandTotals(tagged)
     val chars = corpus.groupBy(col("contract_id"))
       .agg(sum(length(col("text"))).as("pocetZnakov"))
+    // the unpartitioned window pulls every surviving contract into ONE
+    // task — accepted DELIBERATELY: this is the reference's final
+    // human-facing ranking (a single CSV, 04_tag:193-198), thousands
+    // of rows after the vyskyty > 0 cut even at full corpus size. Do
+    // not reuse this shape for corpus-scale frames (q12's per-source
+    // docRank partitions; q63 bounds with WindowGroupLimit).
     val w = Window.orderBy(col("vyskyty").desc, col("pocetZnakov").desc,
       col("cenaKonecna").desc, col("contract_id"))
     totals
@@ -73,9 +85,12 @@ object Tagging {
 
   /** Wide export (F29): one column per keyword, per-category sums and
     * the Výskyty total — the reference's export shape
-    * (04_tag:83-89,176-178), produced by pivot at the edge only. */
+    * (04_tag:83-89,176-178), produced by pivot at the edge only.
+    * Column names are `category_keyword` joined with '_', the
+    * reference's own convention — so, like the reference, a category
+    * name that itself contains '_' can collide with another pair or
+    * with a per-category column; keywords.txt is curated not to. */
   def exportWide(tagged: DataFrame): DataFrame = {
-    val s = tagged.sparkSession
     val perKeyword = tagged.groupBy(col("contract_id"))
       .pivot(concat_ws("_", col("category"), col("keyword")))
       .agg(first(col("hits")))

@@ -84,8 +84,14 @@ object ExternalTool {
     * add their spawn count AFTER the mix so "next spawn → next proxy"
     * stays literal. */
   private def spawn(conf: ToolConf, position: Long): Process = {
+    // stderr is DISCARDED, never merged into stdout: in worker mode a
+    // single diagnostic line on stderr would be read as some record's
+    // answer and desynchronize every later record/answer pairing — the
+    // exact silent misattribution the newline-rejection invariant
+    // guards against. Tools that need diagnostics keep them on stderr
+    // (their own logs); the protocol owns stdout exclusively.
     val pb = new ProcessBuilder(conf.command.asJava)
-      .redirectErrorStream(true)
+      .redirectError(ProcessBuilder.Redirect.DISCARD)
     if (conf.proxies.nonEmpty) {
       val env = pb.environment()
       env.put("GRAFT_PROXIES", conf.proxies.mkString(","))
@@ -95,6 +101,15 @@ object ExternalTool {
       env.put("https_proxy", chosen)
     }
     pb.start()
+  }
+
+  /** Kill a process AND its descendants: destroyForcibly alone reaches
+    * only the direct child (typically /bin/sh), orphaning the real
+    * tool — the very process a timeout kill exists to stop — which
+    * would keep burning CPU and hold the stdout pipe open. */
+  private def killTree(p: Process): Unit = {
+    p.descendants().forEach(h => { h.destroyForcibly(); () })
+    p.destroyForcibly().waitFor()
   }
 
   /** One row per input record, ok or not; `worker_pid` exposes
@@ -143,6 +158,7 @@ object ExternalTool {
       // reads stdin nor writes stdout must still hit waitFor's
       // timeout below (a task-thread write would block forever on a
       // payload larger than the pipe buffer)
+      val t0 = System.nanoTime()
       val drain = submit(new String(in.readAllBytes(), "UTF-8"))
       submit {
         // EPIPE here is legitimate: a tool may exit successfully
@@ -151,21 +167,34 @@ object ExternalTool {
         catch { case _: java.io.IOException => () }
       }
       if (!proc.waitFor(conf.timeoutMs, TimeUnit.MILLISECONDS)) {
-        proc.destroyForcibly().waitFor()
+        killTree(proc)
         ToolResult(id, ok = false, timed_out = true, out = "", pid)
       } else {
         try {
-          val out = drain.get(conf.timeoutMs, TimeUnit.MILLISECONDS)
+          // the drain gets the REMAINING budget, not a fresh one —
+          // waitFor + a stalled drain must never hold the task thread
+          // for 2× the documented per-record guard
+          val left = conf.timeoutMs -
+            (System.nanoTime() - t0) / 1000000L
+          val out = drain.get(math.max(left, 1L), TimeUnit.MILLISECONDS)
           ToolResult(id, proc.exitValue() == 0, timed_out = false,
             out.stripLineEnd, pid)
         } catch {
           case _: TimeoutException => // exited but stdout never closed
+            killTree(proc)
             ToolResult(id, ok = false, timed_out = true, out = "", pid)
         }
       }
     } catch {
+      // task kill arrives as an interrupt: kill the tool, restore the
+      // flag, and let the task DIE — converting it into an ok=false
+      // row would keep a cancelled multi-hour partition running
+      case ie: InterruptedException =>
+        if (proc != null) killTree(proc)
+        Thread.currentThread().interrupt()
+        throw ie
       case _: Exception =>
-        if (proc != null) proc.destroyForcibly().waitFor()
+        if (proc != null) killTree(proc)
         ToolResult(id, ok = false, timed_out = false, out = "",
           if (proc != null) proc.pid() else -1L)
     }
@@ -206,7 +235,7 @@ object ExternalTool {
       }
 
     private def kill(): Unit = if (proc != null) {
-      proc.destroyForcibly().waitFor()
+      killTree(proc)
       proc = null; reader = null; writer = null
     }
 
@@ -250,6 +279,12 @@ object ExternalTool {
             ToolResult(id, ok = false, timed_out = true, out = "", pid)
         }
       } catch {
+        // task kill: reap the worker, restore the flag, die — see the
+        // per-record handler for why this must not become a row
+        case ie: InterruptedException =>
+          kill()
+          Thread.currentThread().interrupt()
+          throw ie
         case _: Exception =>
           val pid = if (proc != null) proc.pid() else -1L
           kill()

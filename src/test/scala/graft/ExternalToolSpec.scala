@@ -34,6 +34,22 @@ class ExternalToolSpec extends SparkSpec {
     res.unpersist()
   }
 
+  test("worker stderr is discarded, never read as an answer: a " +
+      "diagnostic-per-record tool keeps every pairing aligned") {
+    val ds = spark.createDataset((1L to 6L).map(i => (i, s"rec$i")))
+      .coalesce(1)
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/noisy_worker.sh")))
+      .collect().sortBy(_.id)
+    assert(res.length == 6)
+    res.foreach { r =>
+      assert(r.ok)
+      // a merged stderr line would surface as out == "diag: ..." and
+      // shift every later record's answer by one
+      assert(r.out == s"ok:rec${r.id}", r.out)
+    }
+  }
+
   test("a poisoned record is timeout-killed; the NEXT record gets a " +
       "fresh worker and still succeeds") {
     val ds = Seq((1L, "alpha"), (2L, "SLEEP"), (3L, "beta")).toDS()
