@@ -96,7 +96,13 @@ object LayoutOps {
     val path = new Path(
       s.sessionState.conf.warehousePath, "graft_orders_by_month")
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
-    val fp = sourceFingerprint(s, dir, Seq("orders"), "month-layout-v1")
+    // the session timezone is PART of the layout's identity: month
+    // partition values come from date_format in the session zone, so
+    // a layout built under one zone must not be silently reused by a
+    // session in another (shifted boundary rows would diverge from
+    // the UTC oracle with no rebuild ever triggered)
+    val fp = sourceFingerprint(s, dir, Seq("orders"),
+      s"month-layout-v1|tz=${s.sessionState.conf.sessionLocalTimeZone}")
     val marker = new Path(path, "_graft_fingerprint")
     if (!readMarker(fs, marker).contains(fp)) {
       writeDatePartitioned(
@@ -133,33 +139,28 @@ object LayoutOps {
     * explicit pattern for pathological keys (SURVEY.md §7.1.8).
     */
   def saltedCount(df: DataFrame, keyCol: String, buckets: Int): DataFrame =
-    df.withColumn("_salt", pmod(spark_partition_id()
-        + monotonically_increasing_id(), lit(buckets)))
+    // deterministic content-hash salt, the SkewOps convention — the
+    // previous spark_partition_id + monotonically_increasing_id salt
+    // was Catalyst-nondeterministic (shuffle retries could re-salt)
+    df.withColumn("_salt",
+        pmod(xxhash64(df.columns.toIndexedSeq.map(col): _*), lit(buckets)))
       .groupBy(col(keyCol), col("_salt"))
       .agg(count(lit(1)).as("partial"))
       .groupBy(col(keyCol))
       .agg(sum(col("partial")).as("n"))
 
-  /** Bucketed co-located join: write both sides bucketed+sorted on the
-    * join key (`bucketBy` + `saveAsTable`), then join — Spark reads
-    * bucket metadata and skips BOTH shuffle exchanges. At 100 TB this
-    * is the difference between re-shuffling the fact table on every
-    * join and a one-time layout cost (SURVEY.md §4 "bucketed by
-    * contract id"). Returns the joined aggregate; LayoutSpec asserts
-    * the plan has no Exchange over the scans.
-    */
-  /** Build (or reuse) the two bucketed tables [[bucketedJoin]] joins.
-    * Reuse has two tiers: same-session (catalog entry + matching
-    * fingerprint → no work), and cross-session (the in-memory catalog
-    * is empty but the bucketed files + marker survive on disk → the
-    * location is re-registered as an external `CLUSTERED BY` table, no
-    * rewrite). Only a fingerprint miss pays the write. */
   /** Bucket count of the REGISTERED q53 query — Bench warmup must
     * build the very same layout (a different count changes the
     * fingerprint tag and the measured query would silently re-pay the
     * write), so both call sites share this constant. */
   val DefaultBuckets = 8
 
+  /** Build (or reuse) the two bucketed tables [[bucketedJoin]] joins.
+    * Reuse has two tiers: same-session (catalog entry + matching
+    * fingerprint → no work), and cross-session (the in-memory catalog
+    * is empty but the bucketed files + marker survive on disk → the
+    * location is re-registered as an external `CLUSTERED BY` table, no
+    * rewrite). Only a fingerprint miss pays the write. */
   def ensureBucketedTables(s: SparkSession, dir: String,
       buckets: Int = DefaultBuckets): Unit = {
     val fp = sourceFingerprint(s, dir, Seq("lineitem", "orders"),
@@ -202,6 +203,14 @@ object LayoutOps {
     }
   }
 
+  /** Bucketed co-located join: write both sides bucketed+sorted on the
+    * join key (`bucketBy` + `saveAsTable`), then join — Spark reads
+    * bucket metadata and skips BOTH shuffle exchanges. At 100 TB this
+    * is the difference between re-shuffling the fact table on every
+    * join and a one-time layout cost (SURVEY.md §4 "bucketed by
+    * contract id"). Returns the joined aggregate; LayoutSpec asserts
+    * the plan has no Exchange over the scans.
+    */
   def bucketedJoin(s: SparkSession, dir: String, buckets: Int): DataFrame = {
     // layout cost is proportional to what you bucket: the one-time
     // bucketed write projects to the join/agg columns, and runs only
