@@ -20,6 +20,11 @@ object Retry {
   final case class Policy(tries: Int = 6, initialDelayMs: Long = 3000L,
       backoff: Double = 2.0) {
     require(tries >= 1, "tries must be >= 1")
+    // a negative delay would surface as Thread.sleep's
+    // IllegalArgumentException from inside the retry catch block,
+    // masking the original failure — validate at construction instead
+    require(initialDelayMs >= 0, "initialDelayMs must be >= 0")
+    require(backoff > 0, "backoff must be > 0")
   }
 
   /** Sleeps between attempts: `tries - 1` entries, exponentially

@@ -82,12 +82,20 @@ object MultimodalOps {
     import s.implicits._
     val docs = Tables.documents(s, dir)
       .select($"doc_id", $"text").as[(Long, String)]
-    val cmd = s.conf.get("spark.graft.media.cmd", "")
+    // trim BEFORE the emptiness test and the argv split: a cmd of
+    // " /bin/sh x.sh" would otherwise split to a leading "" argv
+    // element, ProcessBuilder would throw on every record, and
+    // ExternalTool's per-record quarantine would convert the config
+    // typo into a 100%-quarantined "successful" run
+    val cmd = s.conf.get("spark.graft.media.cmd", "").trim
     val media: Dataset[MediaRecord] =
       if (cmd.isEmpty) {
         docs.map { case (id, text) =>
+          // documents.text is non-null by generator contract; treat a
+          // null defensively as an empty payload rather than NPE-ing
+          // the whole query on one corrupt row
           MediaRecord(id, if (id % 2 == 0) "image" else "audio",
-            text.getBytes("UTF-8"))
+            Option(text).getOrElse("").getBytes("UTF-8"))
         }
       } else {
         val conf = ExternalTool.ToolConf(
@@ -99,7 +107,8 @@ object MultimodalOps {
         // newlines to spaces before piping — same normalization the
         // whitespace stage applies anyway (P1)
         val lineSafe = docs.map { case (id, text) =>
-          (id, text.replace('\n', ' ').replace('\r', ' '))
+          (id, Option(text).getOrElse("")
+            .replace('\n', ' ').replace('\r', ' '))
         }
         ExternalTool.pipe(lineSafe, conf).map { r =>
           val kind = if (r.id % 2 == 0) "image" else "audio"

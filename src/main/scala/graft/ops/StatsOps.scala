@@ -23,10 +23,14 @@ object StatsOps {
 
   private def dec2 = graft.Money.dec2 _
 
-  /** q15 — per-column stats: non-empty count (P10), numeric-row ratio
-    * with the reference's 0.75 price-column threshold (P12/H3), all in
-    * one conditional-aggregation pass over the long (column, cell)
-    * frame. */
+  /** q15 — per-column stats: non-empty count (P10) and a numeric-row
+    * ratio with the reference's 0.75 threshold, in one conditional-
+    * aggregation pass over the long (column, cell) frame. The numeric
+    * test HERE is strict full-match (`^[0-9]+$` — "the cell IS a
+    * number"), a deliberate fit for this generic stats surface; the
+    * reference-parity P12 rule (digit CONTAINMENT, 09:268 findall —
+    * '100,00 EUR' counts) lives where P12 is actually rendered,
+    * `crz.TablesPipeline.columnStats`. */
   def columnStats(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val cells = Tables.events(s, dir).select(explode(array(
@@ -120,6 +124,15 @@ object StatsOps {
       .withColumn("avg_k", $"sum_k".cast("double") / $"n".cast("double"))
   }
 
+  val jsonPropsSql: String =
+    """SELECT event_type, COUNT(*) AS n,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |       AS BIGINT) AS sum_k,
+      |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
+      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
+      |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
+      |FROM events GROUP BY event_type""".stripMargin
+
   /** q38 — sessionization: split each user's event stream at >30 min
     * gaps (lag + running sum of boundary flags), then per-session
     * aggregates. The windowed form of the reference's per-day batch
@@ -197,12 +210,4 @@ object StatsOps {
       |  quantile_cont(o_totalprice, 0.95) AS p95
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
-  val jsonPropsSql: String =
-    """SELECT event_type, COUNT(*) AS n,
-      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
-      |       AS BIGINT) AS sum_k,
-      |  MAX(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT)) AS max_k,
-      |  CAST(SUM(TRY_CAST(regexp_extract(props, '"k": ([0-9]+)', 1) AS BIGINT))
-      |       AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avg_k
-      |FROM events GROUP BY event_type""".stripMargin
 }
