@@ -77,6 +77,7 @@ object Bench {
       // write via the source fingerprint marker.
       warm { graft.ops.LayoutOps.ensureMonthLayout(spark, sfDir) }
       warm { graft.ops.LayoutOps.ensureBucketedTables(spark, sfDir) }
+      warm { graft.ops.LayoutOps.ensureBandIndexLayout(spark, sfDir) }
     }
     // Excluded from the MEASURED set (each stays registered, spec'd
     // and CORRECTNESS-checked — only the bench stops re-paying it):

@@ -106,7 +106,12 @@ object TablesPipeline {
   def tableHeader(cells: DataFrame, kws: Keywords): DataFrame = {
     val s = cells.sparkSession
     Functions.register(s)
-    def sqlLit(k: String) = k.toLowerCase.replace("'", "\\'")
+    // backslashes first, then quotes: a keyword containing `\` must not
+    // produce an escape sequence the SQL parser reinterprets (and the
+    // \' form assumes spark.sql.parser.escapedStringLiterals=false,
+    // Spark's default)
+    def sqlLit(k: String) =
+      k.toLowerCase.replace("\\", "\\\\").replace("'", "\\'")
     val row0 = cells.where(col("row_idx") === 0)
       .groupBy(col("contract_id"), col("table_no"))
       .agg(expr("collect_list(lower(cell))").as("hcells"))

@@ -108,8 +108,17 @@ object ExternalTool {
     * tool — the very process a timeout kill exists to stop — which
     * would keep burning CPU and hold the stdout pipe open. */
   private def killTree(p: Process): Unit = {
+    // Parent FIRST: killing descendants before the parent leaves a
+    // window where the still-alive parent forks a fresh child that
+    // escapes the snapshot. With the parent dead it cannot fork, so a
+    // post-kill descendant sweep (plus one re-check for children that
+    // were mid-fork) is complete. waitFor is bounded — an unkillable
+    // (e.g. D-state) process must not hang the executor task thread.
+    p.destroyForcibly()
     p.descendants().forEach(h => { h.destroyForcibly(); () })
-    p.destroyForcibly().waitFor()
+    p.descendants().forEach(h => { h.destroyForcibly(); () })
+    p.waitFor(5, TimeUnit.SECONDS)
+    ()
   }
 
   /** One row per input record, ok or not; `worker_pid` exposes

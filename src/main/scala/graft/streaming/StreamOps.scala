@@ -300,28 +300,20 @@ object StreamOps {
     *
     * Scale shape: the index is one row per corpus doc per band
     * (key = 4 concatenated 16-bit minima — tiny next to the text it
-    * summarizes), bucketed or broadcast by size; the arriving side's
-    * signatures are zero-shuffle per-row kernels, so a micro-batch
-    * costs sig + an equi-join probe. Nothing is all-pairs; streaming
-    * state is zero, so the query runs forever without compaction. */
+    * summarizes), MATERIALIZED as a bucketed table by the batch
+    * pipeline ([[graft.ops.LayoutOps.ensureBandIndexLayout]] — built
+    * once per source fingerprint, reused across micro-batches AND
+    * across sessions); the arriving side's signatures are zero-shuffle
+    * per-row kernels, so a micro-batch costs sig + an equi-join probe
+    * whose index-scan side needs no exchange (bucket spec = join key;
+    * LayoutSpec pins the plan). Nothing is all-pairs; streaming state
+    * is zero, so the query runs forever without compaction. */
   def streamIngestNeardup(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // the index is persisted so later micro-batches PROBE it instead
-    // of re-hashing the whole corpus each trigger (in a deployment it
-    // would be a materialized table maintained by the batch pipeline)
-    val corpus = graft.ops.DedupOps.bandFrame(
-      graft.Tables.documents(s, dir).where($"doc_id" % 10 =!= 0))
-      .persist()
-    try {
-      val arriving = graft.ops.DedupOps.bandFrame(
-        fileStream(s, dir, "documents").where($"doc_id" % 10 === 0))
-      val matches = arriving.as("n").join(corpus.as("c"),
-          $"n.band" === $"c.band" && $"n.key" === $"c.key")
-        .select($"n.doc_id".as("doc_new"), $"c.doc_id".as("doc_corpus"))
-      // the drained memory-sink table is already materialized, so the
-      // returned frame no longer depends on the persisted index
-      drainToTable(s, matches, "graft_stream_ingest", "append").distinct()
-    } finally corpus.unpersist()
+    val arriving = graft.ops.DedupOps.bandFrame(
+      fileStream(s, dir, "documents").where($"doc_id" % 10 === 0))
+    val matches = graft.ops.LayoutOps.bandIndexProbe(s, dir, arriving)
+    drainToTable(s, matches, "graft_stream_ingest", "append").distinct()
   }
 
   val streamIngestNeardupSql: String =

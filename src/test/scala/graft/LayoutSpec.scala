@@ -124,6 +124,49 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("band index materializes once and the probe join leaves the " +
+      "index scan unshuffled") {
+    import org.apache.hadoop.fs.Path
+    val t = LayoutOps.ensureBandIndexLayout(spark, sf0001)
+    val loc = new Path(spark.sessionState.conf.warehousePath, t)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestDataMtime: Long = fs.listStatus(loc)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(_.getModificationTime).max
+    val before = newestDataMtime
+    // unchanged source: second ensure is a no-op, the layout is reused
+    LayoutOps.ensureBandIndexLayout(spark, sf0001)
+    assert(newestDataMtime == before)
+    // broadcast disabled so bucket metadata — not a broadcast
+    // fallback — is what kills the index-side exchange
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val arriving = graft.ops.DedupOps.bandFrame(
+        Tables.documents(spark, sf0001).where($"doc_id" % 10 === 0))
+      val q = LayoutOps.bandIndexProbe(spark, sf0001, arriving).distinct()
+      val plan = q.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin"))
+      // both join sides hash on the fused `bkey`; exactly ONE such
+      // exchange may appear (the probe side) — the bucketed index
+      // scan plans none
+      val hits = "Exchange hashpartitioning\\(bkey".r
+        .findAllIn(plan).size
+      assert(hits == 1, s"expected 1 bkey exchange, got $hits:\n$plan")
+      // and the probe is RIGHT: identical pairs to the inline banding
+      // join q69 used before the index was materialized
+      val got = q.as[(Long, Long)].collect().toSet
+      val corpus = graft.ops.DedupOps.bandFrame(
+        Tables.documents(spark, sf0001).where($"doc_id" % 10 =!= 0))
+      val expect = arriving.as("n").join(corpus.as("c"),
+          $"n.band" === $"c.band" && $"n.key" === $"c.key")
+        .select($"n.doc_id", $"c.doc_id")
+        .as[(Long, Long)].collect().toSet
+      assert(got == expect && got.nonEmpty)
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("approx distinct is within rsd of exact") {
     val d = LayoutOps.approxDistinct(spark, sf0001)
     val bad = d.where(
