@@ -44,6 +44,7 @@ object SparkEntry {
       ("q21_minhash_lsh", DedupOps.minhashLsh _, Some(DedupOps.minhashLshSql)),
       ("q22_simhash", DedupOps.simhash _, Some(DedupOps.simhashSql)),
       ("q23_ngram_jaccard", DedupOps.ngramJaccard _, Some(DedupOps.ngramJaccardSql)),
+      ("q71_line_dedup", DedupOps.lineDedup _, Some(DedupOps.lineDedupSql)),
       ("q48_dedup_clusters", DedupOps.dedupClusters _, Some(DedupOps.dedupClustersSql)),
       ("q24_cosine_topk", SimilarityOps.cosineTopK _, Some(SimilarityOps.cosineTopKSql)),
       ("q25_ann_ivf", SimilarityOps.annIvf _, Some(SimilarityOps.annIvfSql)),
@@ -54,6 +55,7 @@ object SparkEntry {
       ("q27_quality_score", TextOps.qualityScore _, Some(TextOps.qualityScoreSql)),
       ("q28_token_count", TextOps.tokenCount _, Some(TextOps.tokenCountSql)),
       ("q29_fingerprint", TextOps.fingerprint _, Some(TextOps.fingerprintSql)),
+      ("q72_pii_scrub", TextOps.piiScrub _, Some(TextOps.piiScrubSql)),
       ("q30_event_windows", StatsOps.eventWindows _, Some(StatsOps.eventWindowsSql)),
       ("q31_json_props", StatsOps.jsonProps _, Some(StatsOps.jsonPropsSql)),
       ("q32_binary_meta", MultimodalOps.binaryMeta _, Some(MultimodalOps.binaryMetaSql)),

@@ -543,6 +543,74 @@ object DedupOps {
       .where($"jaccard" >= 0.05)
   }
 
+  /** q71 — LINE-level exact dedup (the C4/RefinedWeb pipeline stage:
+    * duplicated boilerplate lines are removed corpus-WIDE, keeping one
+    * canonical occurrence), the D1 first-seen semantics
+    * (02_filter_by_CIN.py:252-268) applied at sub-document
+    * granularity. The synthetic corpus carries no newlines, so the
+    * registered query reflows each document into fixed
+    * [[LineTokens]]-token lines first (the same trim+`' +'`-split
+    * token convention as q28/q65/q67); on real data the reflow step
+    * is replaced by `split(text, '\n')` and everything downstream is
+    * unchanged. Survivorship is deterministic: first occurrence in
+    * (md5(doc_id), line_no) order — a content-derived total order
+    * with no timestamp or partition dependence, the q65/q68
+    * convention. Output is the per-document audit a pipeline
+    * operator wants: line count, surviving-line count, keep ratio.
+    *
+    * Scale shape: the window shuffle carries (doc_id, line_no,
+    * line_hash) — the line TEXT is dropped before the exchange, so
+    * at 100 TB the shuffle moves ~48 bytes per line, not documents;
+    * the per-doc rollup then combines map-side. One wide exchange on
+    * line_hash, one narrow on doc_id — never all-pairs, and a
+    * pathological boilerplate line (billions of copies of "click
+    * here") is one hot window partition, bounded by the same salting
+    * escape hatch as q49 if it ever dominates. */
+  val LineTokens = 10
+  def lineDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val w = Window.partitionBy($"line_hash")
+      .orderBy(md5($"doc_id".cast("string")), $"ln")
+    Tables.documents(s, dir)
+      .withColumn("toks", split(trim($"text"), " +"))
+      .select($"doc_id", $"toks", explode(expr(
+        s"sequence(1, CAST(ceil(size(toks) / ${LineTokens}.0) AS INT))"))
+        .as("ln"))
+      .select($"doc_id", $"ln",
+        md5(expr(
+          s"array_join(slice(toks, (ln - 1) * $LineTokens + 1, $LineTokens), ' ')"))
+          .as("line_hash"))
+      .withColumn("rn", row_number().over(w))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(when($"rn" === 1, 1L).otherwise(0L)).as("n_kept"))
+      .withColumn("keep_ratio",
+        $"n_kept".cast("double") / $"n_lines".cast("double"))
+  }
+
+  val lineDedupSql: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), ' +') AS t
+       |  FROM documents),
+       |lines AS (
+       |  SELECT doc_id, ln,
+       |    md5(array_to_string(
+       |      t[(ln - 1) * $LineTokens + 1 : (ln - 1) * $LineTokens + $LineTokens],
+       |      ' ')) AS line_hash
+       |  FROM toks,
+       |    unnest(generate_series(
+       |      1, CAST(ceil(len(t) / ${LineTokens}.0) AS BIGINT))) AS u(ln)),
+       |ranked AS (
+       |  SELECT doc_id, line_hash,
+       |    ROW_NUMBER() OVER (PARTITION BY line_hash
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), ln) AS rn
+       |  FROM lines)
+       |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_lines,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       |  CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+       |    / CAST(COUNT(*) AS DOUBLE) AS keep_ratio
+       |FROM ranked GROUP BY doc_id""".stripMargin
+
   val ngramJaccardSql: String =
     """WITH bg AS (
       |  SELECT DISTINCT doc_id, lang, source, bigram

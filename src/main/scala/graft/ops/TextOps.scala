@@ -901,4 +901,98 @@ object TextOps {
       |        trim(regexp_replace(lower(text), '[ \t\n\x0B\f\r]+', ' ', 'g'))
       |          AS norm
       |      FROM documents)""".stripMargin
+
+  /** q72 — PII scrub with per-document redaction accounting, the
+    * redact-before-training stage every pipeline needs next to the
+    * measuring stages (q26-q29/q57-q63): emails, phone numbers and
+    * IPv4 literals are replaced by typed placeholders and the count of
+    * each kind is reported alongside a fingerprint of the redacted
+    * text (so downstream dedup runs on the SCRUBBED stream).
+    *
+    * The synthetic corpus carries no PII, so the registered query
+    * first decorates each document with contact strings derived
+    * deterministically from doc_id — ON BOTH ENGINES, the q33
+    * stub-mirroring pattern — which makes the scrub itself (match,
+    * replace, count, fingerprint) the thing the oracle hash-checks:
+    * ~1/3 of docs get an email, 1/4 a phone, 1/5 an IP, with all 8
+    * presence combinations realized. Patterns are RE2-safe and
+    * spelled with explicit ASCII classes (`[0-9]`, never `\d` or
+    * `\s`) so Java regex and DuckDB RE2 agree — the fingerprintSql
+    * discipline. Counts are taken on the pre-redaction text per
+    * pattern; the three patterns cannot overlap (emails need a
+    * letter TLD, phones are space-separated digit groups, IPs are
+    * dot-separated digit groups), so the sequential replaces and the
+    * independent counts see the same matches.
+    *
+    * Scale shape: pure per-row regex expressions — ZERO shuffle,
+    * embarrassingly parallel, the same map-only envelope as q26-q29. */
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val phone = "\\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}"
+    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+    Tables.documents(s, dir)
+      .withColumn("full_text", concat($"text",
+        when($"doc_id" % 3 === 0,
+          concat(lit(" Contact: user"), ($"doc_id" % 97).cast("string"),
+            lit("@mail"), ($"doc_id" % 7).cast("string"),
+            lit(".example.com"))).otherwise(lit("")),
+        when($"doc_id" % 4 === 0,
+          concat(lit(" tel +421 9"),
+            lpad((($"doc_id" * 13) % 100).cast("string"), 2, "0"), lit(" "),
+            lpad((($"doc_id" * 7) % 1000).cast("string"), 3, "0"), lit(" "),
+            lpad((($"doc_id" * 3) % 1000).cast("string"), 3, "0")))
+          .otherwise(lit("")),
+        when($"doc_id" % 5 === 0,
+          concat(lit(" ip 10."), ($"doc_id" % 256).cast("string"), lit("."),
+            (($"doc_id" * 3) % 256).cast("string"), lit("."),
+            (($"doc_id" * 7) % 256).cast("string"))).otherwise(lit(""))))
+      .withColumn("n_email",
+        regexp_count($"full_text", lit(email)).cast("long"))
+      .withColumn("n_phone",
+        regexp_count($"full_text", lit(phone)).cast("long"))
+      .withColumn("n_ip", regexp_count($"full_text", lit(ip)).cast("long"))
+      .withColumn("redacted",
+        regexp_replace(regexp_replace(regexp_replace($"full_text",
+          email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]"))
+      .select($"doc_id", $"n_email", $"n_phone", $"n_ip",
+        ($"n_email" + $"n_phone" + $"n_ip").as("n_redacted"),
+        substring(md5($"redacted"), 1, 16).as("redacted_fp"))
+  }
+
+  val piiScrubSql: String =
+    """WITH deco AS (
+      |  SELECT doc_id, text ||
+      |    CASE WHEN doc_id % 3 = 0 THEN
+      |      ' Contact: user' || CAST(doc_id % 97 AS VARCHAR) ||
+      |      '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 4 = 0 THEN
+      |      ' tel +421 9' || lpad(CAST((doc_id * 13) % 100 AS VARCHAR), 2, '0')
+      |      || ' ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
+      |      || ' ' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+      |      ELSE '' END ||
+      |    CASE WHEN doc_id % 5 = 0 THEN
+      |      ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
+      |      '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
+      |      '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
+      |      ELSE '' END AS full_text
+      |  FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
+      |    AS n_email,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}')) AS BIGINT) AS n_phone,
+      |  CAST(len(regexp_extract_all(full_text,
+      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
+      |    AS n_ip,
+      |  n_email + n_phone + n_ip AS n_redacted,
+      |  substr(md5(
+      |    regexp_replace(regexp_replace(regexp_replace(full_text,
+      |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |      '\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}', '[PHONE]', 'g'),
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')),
+      |    1, 16) AS redacted_fp
+      |FROM deco""".stripMargin
 }

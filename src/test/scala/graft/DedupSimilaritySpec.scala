@@ -288,4 +288,31 @@ class DedupSimilaritySpec extends SparkSpec {
     } yield (ida, idb, (i + 1).toLong)).toSet
     assert(ivf == expected)
   }
+  test("line dedup keeps exactly one survivor per distinct line and " +
+      "audits every document") {
+    val d = graft.ops.DedupOps.lineDedup(spark, sf0001)
+    val docs = Tables.documents(spark, sf0001)
+    // every document is audited, none invented
+    assert(d.count() == docs.count())
+    // total kept == number of DISTINCT reflowed lines in the corpus
+    // (one canonical survivor per line, the C4 keep-first contract)
+    val lt = graft.ops.DedupOps.LineTokens
+    val distinctLines = docs
+      .withColumn("toks", split(trim($"text"), " +"))
+      .select($"doc_id", $"toks", explode(expr(
+        s"sequence(1, CAST(ceil(size(toks) / $lt.0) AS INT))")).as("ln"))
+      .select(expr(
+        s"array_join(slice(toks, (ln - 1) * $lt + 1, $lt), ' ')").as("l"))
+      .distinct().count()
+    val kept = d.agg(sum($"n_kept")).head().getLong(0)
+    val total = d.agg(sum($"n_lines")).head().getLong(0)
+    assert(kept == distinctLines)
+    // non-vacuous at fixture scale: duplicates exist and are removed
+    assert(kept < total)
+    // ratio is the audited division, bounded and exact at the edges
+    val bad = d.where($"keep_ratio" < 0.0 || $"keep_ratio" > 1.0 ||
+      ($"n_kept" === $"n_lines" && $"keep_ratio" =!= 1.0)).count()
+    assert(bad == 0)
+  }
+
 }

@@ -364,4 +364,40 @@ class TextOpsSpec extends SparkSpec {
       docs.map(_._3.trim.split(" +").length.toLong).sum
     assert(got.toSeq.map(_._4).sum == corpusTokens)
   }
+  test("pii scrub: clean docs keep their exact text fingerprint, " +
+      "decorated docs redact to the typed placeholders") {
+    import java.security.MessageDigest
+    def md5hex(x: String): String =
+      MessageDigest.getInstance("MD5").digest(x.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    val out = graft.ops.TextOps.piiScrub(spark, sf0001)
+      .as[(Long, Long, Long, Long, Long, String)].collect()
+      .map(r => r._1 -> r).toMap
+    val texts = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"text").as[(Long, String)].collect().toMap
+    // counts follow the decoration rule exactly
+    out.values.foreach { case (id, ne, np, ni, nr, _) =>
+      assert(ne == (if (id % 3 == 0) 1 else 0), s"doc $id email")
+      assert(np == (if (id % 4 == 0) 1 else 0), s"doc $id phone")
+      assert(ni == (if (id % 5 == 0) 1 else 0), s"doc $id ip")
+      assert(nr == ne + np + ni)
+    }
+    // a clean doc (no decoration) is byte-identical after the scrub
+    val clean = out.keys.filter(id =>
+      id % 3 != 0 && id % 4 != 0 && id % 5 != 0)
+    assert(clean.nonEmpty)
+    clean.foreach { id =>
+      assert(out(id)._6 == md5hex(texts(id)).take(16), s"doc $id mutated")
+    }
+    // a fully-decorated doc redacts every kind to its placeholder —
+    // the expected string is built INDEPENDENTLY (no regex) here
+    val all3 = out.keys.filter(id =>
+      id % 3 == 0 && id % 4 == 0 && id % 5 == 0)
+    assert(all3.nonEmpty)
+    all3.foreach { id =>
+      val expect = texts(id) + " Contact: [EMAIL] tel [PHONE] ip [IP]"
+      assert(out(id)._6 == md5hex(expect).take(16), s"doc $id redaction")
+    }
+  }
+
 }
