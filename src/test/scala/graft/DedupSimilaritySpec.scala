@@ -101,6 +101,12 @@ class DedupSimilaritySpec extends SparkSpec {
     // recall is counted over the full truth set: total = 3 per vector
     val total = rows("ivf_quantized").getAs[Long]("total")
     assert(total == 3L * Tables.embeddings(spark, sf0001).count())
+    // the recall gate is self-protecting: q66's NULL-pass-on-empty-
+    // truth shape means an accidentally-empty embeddings read would
+    // "not fail" AS REGISTERED — so the fixture-scale truth set is
+    // pinned NON-EMPTY here, making that silent shape unreachable
+    // without this spec going red first
+    assert(total > 0, "q66 truth set is empty at fixture scale")
     // probing 2 centroids must buy real recall over probing 1
     assert(rows("ivf_multiprobe").getAs[Double]("recall") >
       rows("ivf_quantized").getAs[Double]("recall"))
