@@ -113,6 +113,10 @@ object SparkEntry {
         Some(StreamOps.streamIngestNeardupSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
+      ("q73_shard_manifest", LayoutOps.shardManifest _,
+        Some(LayoutOps.shardManifestSql)),
+      ("q74_training_pipeline", PipelineOps.trainingPipeline _,
+        Some(PipelineOps.trainingPipelineSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,
         Some(LayoutOps.bucketedOrderPrioritySql)),
     )

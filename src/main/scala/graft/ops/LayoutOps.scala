@@ -316,6 +316,62 @@ object LayoutOps {
       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       |GROUP BY 1""".stripMargin
 
+  /** Shard count of [[shardManifest]] — 16 at test scale; a 100 TB
+    * deployment raises it to (corpus bytes / target shard bytes) with
+    * no other change, since assignment is pure per-row arithmetic. */
+  val NShards = 16
+
+  /** q73 — deterministic training-shard assignment + manifest, the
+    * audit half of the "write the training corpus" stage: every
+    * document maps to `md5(doc_id)-derived 32-bit value mod
+    * [[NShards]]` (content-stable — re-running on re-partitioned or
+    * incrementally-grown input reassigns nothing, unlike
+    * `spark_partition_id`/round-robin), and the manifest reports per
+    * shard the doc count, token total (q28 trim+`' +'` convention,
+    * so manifests reconcile with the budget/packing stages) and an
+    * order-independent XOR checksum of the per-doc hash — the value
+    * a resumed or re-run writer compares to detect a silently
+    * changed shard. The writer itself is `.write.partitionBy` over
+    * the same `shard` column ([[writeDatePartitioned]] machinery);
+    * the manifest is the part with checkable semantics.
+    *
+    * Scale shape: one map-side-combinable groupBy on shard —
+    * NShards × partials per partition, then NShards output rows; the
+    * md5 nibble arithmetic is the q62 cross-engine bucket device
+    * (hex-char strpos fold, identical in Spark SQL and DuckDB). */
+  def shardManifest(s: SparkSession, dir: String): DataFrame = {
+    // CAST each term to BIGINT BEFORE the multiply: instr returns INT
+    // and 16^7 scales past Int.MaxValue — ANSI mode (Spark 4 default)
+    // throws ARITHMETIC_OVERFLOW on the int product
+    val hexVal = (1 to 8).map(d =>
+      s"(CAST(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), $d, 1)) AS BIGINT) - 1) * ${math.pow(16, 8 - d).toLong}")
+      .mkString(" + ")
+    Tables.documents(s, dir)
+      .withColumn("h", expr(s"CAST($hexVal AS BIGINT)"))
+      .withColumn("shard", pmod(col("h"), lit(NShards.toLong)))
+      .withColumn("toks",
+        size(split(trim(col("text")), " +")).cast("long"))
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        expr("bit_xor(h)").as("checksum"))
+  }
+
+  val shardManifestSql: String = {
+    val hexVal = (1 to 8).map(d =>
+      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $d, 1)) - 1) * ${math.pow(16, 8 - d).toLong}")
+      .mkString(" + ")
+    s"""SELECT hv % $NShards AS shard,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(hv) AS BIGINT) AS checksum
+       |FROM (
+       |  SELECT CAST($hexVal AS BIGINT) AS hv,
+       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+       |      AS n_toks
+       |  FROM documents)
+       |GROUP BY 1""".stripMargin
+  }
+
   /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
     * notes as absent from the reference; a north-star extension):
     * exact vs approx distinct users per event type. approx values are

@@ -753,18 +753,30 @@ object TextOps {
     * the previous chunk's last `ChunkOverlap` tokens can never reach
     * past it, so such starts are pure duplicates and are not emitted. */
   val ChunkOverlap: Int = ChunkTokens - ChunkStride
-  def chunkWindows(s: SparkSession, dir: String): DataFrame = {
+  def chunkWindows(s: SparkSession, dir: String): DataFrame =
+    chunkFrame(Tables.documents(s, dir))
+
+  /** Frame-level chunking core — q67 on the documents table, and the
+    * q74 pipeline on the scrubbed survivor stream. Requires
+    * (doc_id, text); `keep` names extra input columns to carry
+    * through per chunk (q74 threads `lang` this way instead of
+    * re-joining the corpus on doc_id — a map-side pass-through vs a
+    * second wide exchange). */
+  private[graft] def chunkFrame(docs: DataFrame,
+      keep: Seq[String] = Nil): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    Tables.documents(s, dir)
+    val keepC = keep.map(col)
+    docs
       .withColumn("toks", split(trim($"text"), " +"))
-      .select($"doc_id", $"toks", explode(expr(
+      .select(($"doc_id" +: keepC) ++ Seq($"toks", explode(expr(
         s"sequence(0, greatest(size(toks) - 1 - $ChunkOverlap, 0), $ChunkStride)"))
-        .as("start"))
+        .as("start")): _*)
       .withColumn("chunk", expr(s"slice(toks, start + 1, $ChunkTokens)"))
-      .select($"doc_id",
+      .select(($"doc_id" +: keepC) ++ Seq(
         expr(s"CAST(start DIV $ChunkStride AS BIGINT)").as("chunk_id"),
         size($"chunk").cast("long").as("n_chunk_tokens"),
-        array_join($"chunk", " ").as("chunk_text"))
+        array_join($"chunk", " ").as("chunk_text")): _*)
   }
 
   val chunkWindowsSql: String =
@@ -926,73 +938,105 @@ object TextOps {
     *
     * Scale shape: pure per-row regex expressions — ZERO shuffle,
     * embarrassingly parallel, the same map-only envelope as q26-q29. */
-  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val PhoneRe = "\\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}"
+  private[graft] val IpRe =
+    "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** The deterministic doc_id-derived contact decoration (mirrored in
+    * SQL by [[piiScrubSql]] / [[graft.ops.PipelineOps]]): adds a
+    * `full_text` column. Shared by q72 and the q74 pipeline so both
+    * scrub the same non-vacuous stream. */
+  private[graft] def decorateFrame(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
-    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-    val phone = "\\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}"
-    val ip = "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
-    Tables.documents(s, dir)
-      .withColumn("full_text", concat($"text",
-        when($"doc_id" % 3 === 0,
-          concat(lit(" Contact: user"), ($"doc_id" % 97).cast("string"),
-            lit("@mail"), ($"doc_id" % 7).cast("string"),
-            lit(".example.com"))).otherwise(lit("")),
-        when($"doc_id" % 4 === 0,
-          concat(lit(" tel +421 9"),
-            lpad((($"doc_id" * 13) % 100).cast("string"), 2, "0"), lit(" "),
-            lpad((($"doc_id" * 7) % 1000).cast("string"), 3, "0"), lit(" "),
-            lpad((($"doc_id" * 3) % 1000).cast("string"), 3, "0")))
-          .otherwise(lit("")),
-        when($"doc_id" % 5 === 0,
-          concat(lit(" ip 10."), ($"doc_id" % 256).cast("string"), lit("."),
-            (($"doc_id" * 3) % 256).cast("string"), lit("."),
-            (($"doc_id" * 7) % 256).cast("string"))).otherwise(lit(""))))
+    docs.withColumn("full_text", concat($"text",
+      when($"doc_id" % 3 === 0,
+        concat(lit(" Contact: user"), ($"doc_id" % 97).cast("string"),
+          lit("@mail"), ($"doc_id" % 7).cast("string"),
+          lit(".example.com"))).otherwise(lit("")),
+      when($"doc_id" % 4 === 0,
+        concat(lit(" tel +421 9"),
+          lpad((($"doc_id" * 13) % 100).cast("string"), 2, "0"), lit(" "),
+          lpad((($"doc_id" * 7) % 1000).cast("string"), 3, "0"), lit(" "),
+          lpad((($"doc_id" * 3) % 1000).cast("string"), 3, "0")))
+        .otherwise(lit("")),
+      when($"doc_id" % 5 === 0,
+        concat(lit(" ip 10."), ($"doc_id" % 256).cast("string"), lit("."),
+          (($"doc_id" * 3) % 256).cast("string"), lit("."),
+          (($"doc_id" * 7) % 256).cast("string"))).otherwise(lit(""))))
+  }
+
+  /** The redaction core: `full_text` → `redacted` plus per-kind match
+    * counts, patterns applied email → phone → IP on both engines. */
+  private[graft] def scrubFrame(deco: DataFrame): DataFrame = {
+    val s = deco.sparkSession
+    import s.implicits._
+    deco
       .withColumn("n_email",
-        regexp_count($"full_text", lit(email)).cast("long"))
+        regexp_count($"full_text", lit(EmailRe)).cast("long"))
       .withColumn("n_phone",
-        regexp_count($"full_text", lit(phone)).cast("long"))
-      .withColumn("n_ip", regexp_count($"full_text", lit(ip)).cast("long"))
+        regexp_count($"full_text", lit(PhoneRe)).cast("long"))
+      .withColumn("n_ip", regexp_count($"full_text", lit(IpRe)).cast("long"))
       .withColumn("redacted",
         regexp_replace(regexp_replace(regexp_replace($"full_text",
-          email, "[EMAIL]"), phone, "[PHONE]"), ip, "[IP]"))
+          EmailRe, "[EMAIL]"), PhoneRe, "[PHONE]"), IpRe, "[IP]"))
+  }
+
+  def piiScrub(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    scrubFrame(decorateFrame(Tables.documents(s, dir)))
       .select($"doc_id", $"n_email", $"n_phone", $"n_ip",
         ($"n_email" + $"n_phone" + $"n_ip").as("n_redacted"),
         substring(md5($"redacted"), 1, 16).as("redacted_fp"))
   }
 
-  val piiScrubSql: String =
-    """WITH deco AS (
-      |  SELECT doc_id, text ||
+  /** The decoration as a DuckDB expression over (doc_id, text) — ONE
+    * definition shared by [[piiScrubSql]] and the q74 pipeline oracle
+    * so the mirrored stub cannot drift between them. */
+  // NOTE: interpolated into outer .stripMargin strings — no line here
+  // may begin with (whitespace +) '|', or the OUTER strip would eat
+  // the first pipe of a '||' and break the SQL (r8 lesson)
+  private[graft] val decorationSqlExpr: String =
+    """text ||
       |    CASE WHEN doc_id % 3 = 0 THEN
       |      ' Contact: user' || CAST(doc_id % 97 AS VARCHAR) ||
       |      '@mail' || CAST(doc_id % 7 AS VARCHAR) || '.example.com'
       |      ELSE '' END ||
       |    CASE WHEN doc_id % 4 = 0 THEN
-      |      ' tel +421 9' || lpad(CAST((doc_id * 13) % 100 AS VARCHAR), 2, '0')
-      |      || ' ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0')
-      |      || ' ' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
+      |      ' tel +421 9' || lpad(CAST((doc_id * 13) % 100 AS VARCHAR), 2, '0') ||
+      |      ' ' || lpad(CAST((doc_id * 7) % 1000 AS VARCHAR), 3, '0') ||
+      |      ' ' || lpad(CAST((doc_id * 3) % 1000 AS VARCHAR), 3, '0')
       |      ELSE '' END ||
       |    CASE WHEN doc_id % 5 = 0 THEN
       |      ' ip 10.' || CAST(doc_id % 256 AS VARCHAR) ||
       |      '.' || CAST((doc_id * 3) % 256 AS VARCHAR) ||
       |      '.' || CAST((doc_id * 7) % 256 AS VARCHAR)
-      |      ELSE '' END AS full_text
-      |  FROM documents)
-      |SELECT doc_id,
-      |  CAST(len(regexp_extract_all(full_text,
-      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT)
-      |    AS n_email,
-      |  CAST(len(regexp_extract_all(full_text,
-      |    '\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}')) AS BIGINT) AS n_phone,
-      |  CAST(len(regexp_extract_all(full_text,
-      |    '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}')) AS BIGINT)
-      |    AS n_ip,
-      |  n_email + n_phone + n_ip AS n_redacted,
-      |  substr(md5(
-      |    regexp_replace(regexp_replace(regexp_replace(full_text,
+      |      ELSE '' END""".stripMargin
+
+  /** The redaction as a DuckDB expression over `full_text` — shared
+    * with the q74 pipeline oracle like [[decorationSqlExpr]]. */
+  private[graft] val redactionSqlExpr: String =
+    """regexp_replace(regexp_replace(regexp_replace(full_text,
       |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
       |      '\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}', '[PHONE]', 'g'),
-      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')),
-      |    1, 16) AS redacted_fp
-      |FROM deco""".stripMargin
+      |      '[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}', '[IP]', 'g')"""
+      .stripMargin
+
+  val piiScrubSql: String =
+    s"""WITH deco AS (
+       |  SELECT doc_id, $decorationSqlExpr AS full_text
+       |  FROM documents)
+       |SELECT doc_id,
+       |  CAST(len(regexp_extract_all(full_text,
+       |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS BIGINT)
+       |    AS n_email,
+       |  CAST(len(regexp_extract_all(full_text,
+       |    '\\+[0-9]{3} [0-9]{3} [0-9]{3} [0-9]{3}')) AS BIGINT) AS n_phone,
+       |  CAST(len(regexp_extract_all(full_text,
+       |    '[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}')) AS BIGINT)
+       |    AS n_ip,
+       |  n_email + n_phone + n_ip AS n_redacted,
+       |  substr(md5($redactionSqlExpr), 1, 16) AS redacted_fp
+       |FROM deco""".stripMargin
 }
