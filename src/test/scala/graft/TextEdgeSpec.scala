@@ -15,25 +15,28 @@ import org.scalacheck.Gen
 class TextEdgeSpec extends SparkSpec {
 
   /** The registered text-family queries: everything that consumes
-    * documents.text in batch. Streaming (q59/q60/q64/q69) and
-    * embedding-family queries have their own suites. */
+    * documents.text in batch — analysis, dedup, and pipeline stages.
+    * Streaming (q59/q60/q64/q69) and embedding-family queries have
+    * their own suites. */
   private val family = Seq(
-    "q26_lang_id", "q27_quality_score", "q28_token_count",
-    "q29_fingerprint", "q57_boilerplate", "q58_repetition",
-    "q61_contamination", "q62_det_split", "q63_salient_terms",
-    "q65_token_budget", "q67_chunk_windows", "q68_sequence_pack",
-    "q70_mixture_weights", "q71_line_dedup", "q72_pii_scrub",
-    "q73_shard_manifest", "q74_training_pipeline")
+    "q20_dedup_exact", "q21_minhash_lsh", "q22_simhash",
+    "q23_ngram_jaccard", "q26_lang_id", "q27_quality_score",
+    "q28_token_count", "q29_fingerprint", "q48_dedup_clusters",
+    "q52_simhash_pairs", "q54_simhash64_pairs", "q57_boilerplate",
+    "q58_repetition", "q61_contamination", "q62_det_split",
+    "q63_salient_terms", "q65_token_budget", "q67_chunk_windows",
+    "q68_sequence_pack", "q70_mixture_weights", "q71_line_dedup",
+    "q72_pii_scrub", "q73_shard_manifest", "q74_training_pipeline")
 
   /** Fixed adversarial docs + ScalaCheck-generated whitespace/NBSP
     * mixes. doc_ids are stable so failures reproduce. */
   private lazy val edgeDir: String = {
     val fixed: Seq[String] = Seq(
-      null, "", " ", "   ", "\t", "\n", " ", "  ",
-      "a", " a ", "a b", "a b", "word", "the the the",
+      null, "", " ", "   ", "\t", "\n", "\u00A0", "\u00A0\u00A0",
+      "a", " a ", "a b", "a\u00A0b", "word", "the the the",
       "\t\n x ", "é", "a" * 500, ("ab " * 50).trim)
     val alphabet =
-      Gen.oneOf('a', 'b', ' ', '\t', ' ', '\n', 'é')
+      Gen.oneOf('a', 'b', ' ', '\t', '\u00A0', '\n', 'é')
     val gen = Gen.choose(0, 12).flatMap(n =>
       Gen.listOfN(n, alphabet).map(_.mkString))
     val random = (1 to 60).map(_ => gen.sample.getOrElse(""))
