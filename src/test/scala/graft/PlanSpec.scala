@@ -137,4 +137,37 @@ class PlanSpec extends SparkSpec {
     // planning-time pruning, not a post-scan filter on the partition col
     assert(plan.contains("month#") || plan.contains("in(month"))
   }
+  test("q71: the wide exchange carries line hashes, not line text, " +
+      "and only two exchanges exist") {
+    val plan = formatted(graft.ops.DedupOps.lineDedup(spark, sf0001))
+    // exchange 1: window partition on line_hash; exchange 2: doc rollup
+    // (formatted mode puts the keys on the Arguments detail line)
+    assert("hashpartitioning\\(line_hash".r.findAllIn(plan).nonEmpty)
+    assert("Exchange ".r.findAllIn(plan).length <= 4) // 2 nodes x 2 prints
+    // the shuffled row is (doc_id, ln, line_hash) - the token array
+    // must be projected away BEFORE the exchange, so no `toks`
+    // attribute may survive into the window stage
+    val afterEx = plan.substring(plan.indexOf("hashpartitioning(line_hash"))
+    assert(!afterEx.contains("toks"))
+  }
+
+  test("q73: shard manifest is one partial+final aggregation pass") {
+    val plan = formatted(graft.ops.LayoutOps.shardManifest(spark, sf0001))
+    assert("Exchange ".r.findAllIn(plan).length <= 2) // 1 node x 2 prints
+    assert("HashAggregate".r.findAllIn(plan).length >= 4) // partial+final
+  }
+
+  test("q74: the composed pipeline has ONE corpus-wide exchange and " +
+      "Catalyst turns the dedup into a map-side WindowGroupLimit") {
+    val plan = formatted(graft.ops.PipelineOps.trainingPipeline(spark, sf0001))
+    // dedup rn=1 must plan as WindowGroupLimit (top-1 per md5 group
+    // pre-filtered BEFORE the exchange), not a full window sort
+    assert(plan.contains("WindowGroupLimit"))
+    // exchanges: md5(text) window + the two distinct-rollup hops -
+    // nothing else (each node prints twice in formatted mode)
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 6)
+    // gate predicate evaluated at the scan stage, corpus columns pruned
+    assert(!plan.contains("n_chars"))
+  }
+
 }
