@@ -108,14 +108,19 @@ object ExternalTool {
     * tool — the very process a timeout kill exists to stop — which
     * would keep burning CPU and hold the stdout pipe open. */
   private def killTree(p: Process): Unit = {
-    // Parent FIRST: killing descendants before the parent leaves a
-    // window where the still-alive parent forks a fresh child that
-    // escapes the snapshot. With the parent dead it cannot fork, so a
-    // post-kill descendant sweep (plus one re-check for children that
-    // were mid-fork) is complete. waitFor is bounded — an unkillable
-    // (e.g. D-state) process must not hang the executor task thread.
+    // Order matters twice over. SNAPSHOT the descendants BEFORE the
+    // parent dies: once it is killed and reaped its children reparent
+    // to init and p.descendants() goes empty — a post-kill-only sweep
+    // would orphan the very tool the timeout kill exists to stop.
+    // Kill the PARENT before the snapshot entries: a still-alive
+    // parent could fork a fresh child that escapes the snapshot; dead,
+    // it cannot fork, so snapshot + one re-check (for children forked
+    // between snapshot and parent death, visible until reaping) is
+    // complete. waitFor is bounded — an unkillable (e.g. D-state)
+    // process must not hang the executor task thread.
+    val snapshot = p.descendants().iterator().asScala.toList
     p.destroyForcibly()
-    p.descendants().forEach(h => { h.destroyForcibly(); () })
+    snapshot.foreach(h => { h.destroyForcibly(); () })
     p.descendants().forEach(h => { h.destroyForcibly(); () })
     p.waitFor(5, TimeUnit.SECONDS)
     ()

@@ -52,7 +52,11 @@ object PipelineOps {
     TextOps.chunkFrame(scrubbed, keep = Seq("lang"))
       .groupBy($"lang")
       .agg(
-        countDistinct($"doc_id").as("n_docs"),
+        // every document emits exactly one chunk_id=0 row (the start
+        // sequence always contains 0), so the doc count is a plain
+        // conditional sum — countDistinct here would pay the Expand +
+        // extra exchange of a distinct aggregation for nothing
+        sum(when($"chunk_id" === 0, 1L).otherwise(0L)).as("n_docs"),
         count(lit(1)).as("n_chunks"),
         sum($"n_chunk_tokens").as("n_tokens"))
   }

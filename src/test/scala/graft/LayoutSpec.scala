@@ -137,6 +137,16 @@ class LayoutSpec extends SparkSpec {
     // unchanged source: second ensure is a no-op, the layout is reused
     LayoutOps.ensureBandIndexLayout(spark, sf0001)
     assert(newestDataMtime == before)
+    // stale marker (≡ source fingerprint changed, e.g. new ingest
+    // batch landed): the bucketed tier must REBUILD, not reuse — the
+    // month-layout test covers this for the partitioned tier; this
+    // covers it for the shared bucketed tier
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val marker = new Path(loc, "_graft_fingerprint")
+    val out0 = fs.create(marker, true)
+    out0.write("stale".getBytes("UTF-8")); out0.close()
+    LayoutOps.ensureBandIndexLayout(spark, sf0001)
+    assert(newestDataMtime > before)
     // broadcast disabled so bucket metadata — not a broadcast
     // fallback — is what kills the index-side exchange
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")

@@ -163,9 +163,11 @@ class PlanSpec extends SparkSpec {
     // dedup rn=1 must plan as WindowGroupLimit (top-1 per md5 group
     // pre-filtered BEFORE the exchange), not a full window sort
     assert(plan.contains("WindowGroupLimit"))
-    // exchanges: md5(text) window + the two distinct-rollup hops -
-    // nothing else (each node prints twice in formatted mode)
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 6)
+    // exchanges: md5(text) window + ONE rollup hop - nothing else
+    // (each node prints twice in formatted mode); the doc count is a
+    // conditional sum on chunk_id=0, so no distinct-agg Expand
+    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 4)
+    assert(!plan.contains("Expand"))
     // gate predicate evaluated at the scan stage, corpus columns pruned
     assert(!plan.contains("n_chars"))
   }
