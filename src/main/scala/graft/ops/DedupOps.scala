@@ -277,7 +277,11 @@ object DedupOps {
       .withColumn("is_canonical", $"doc_id" === $"canonical_id")
   }
 
-  val dedupClustersSql: String =
+  /** The q48 cluster computation as a reusable CTE chain (transitive
+    * closure over the ≥ 0.8-jaccard edge set) — shared by the q48
+    * final SELECT and the q75 survivor rollup so the clustering the
+    * two queries see cannot drift. */
+  private val clustersCteSql: String =
     minhashCtes +
       """,
         |edges AS (
@@ -289,10 +293,53 @@ object DedupOps {
         |  SELECT DISTINCT doc_a, doc_a FROM edges
         |  UNION
         |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON e.doc_a = reach.r
-        |)
+        |)""".stripMargin
+
+  val dedupClustersSql: String =
+    clustersCteSql +
+      """
         |SELECT id AS doc_id, MIN(r) AS canonical_id,
         |       id = MIN(r) AS is_canonical
         |FROM reach GROUP BY id""".stripMargin
+
+  /** q75 — near-dup SURVIVOR selection: the removal stage q48's
+    * cluster labels exist to drive (the dedup family end-to-end:
+    * q20 removes exact copies, q21 detects near-dup pairs, q48
+    * clusters them, q75 drops every cluster member except its
+    * canonical representative). A document survives iff it belongs
+    * to no cluster, or is its cluster's min-id representative —
+    * reported as a per-language audit (docs, survivors, removed).
+    *
+    * Scale shape: cluster MEMBERSHIP is small next to the corpus
+    * (only docs with a ≥ 0.8-jaccard partner), so the corpus-side
+    * left join broadcasts the label frame and stays map-side — the
+    * only wide work is inside q48 itself; the rollup is a
+    * map-side-combinable (lang) aggregation. */
+  def neardupSurvivors(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val labels = dedupClusters(s, dir)
+      .select($"doc_id", $"is_canonical")
+    Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(broadcast(labels), Seq("doc_id"), "left")
+      .withColumn("survives", coalesce($"is_canonical", lit(true)))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when($"survives", 1L).otherwise(0L)).as("n_survivors"),
+        sum(when(!$"survives", 1L).otherwise(0L)).as("n_removed"))
+  }
+
+  val neardupSurvivorsSql: String =
+    clustersCteSql +
+      """
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NULL OR c.is_canonical
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_survivors,
+        |  CAST(SUM(CASE WHEN c.doc_id IS NOT NULL AND NOT c.is_canonical
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |FROM documents d LEFT JOIN (
+        |  SELECT id AS doc_id, id = MIN(r) AS is_canonical
+        |  FROM reach GROUP BY id) c USING (doc_id)
+        |GROUP BY lang""".stripMargin
 
   private val simhashBits = 16
 

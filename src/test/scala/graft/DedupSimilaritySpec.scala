@@ -321,4 +321,22 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("near-dup survivor selection reconciles with the q48 labels " +
+      "and removes someone") {
+    val out = graft.ops.DedupOps.neardupSurvivors(spark, sf0001)
+      .collect().map(r => (r.getAs[String]("lang"),
+        r.getAs[Long]("n_docs"), r.getAs[Long]("n_survivors"),
+        r.getAs[Long]("n_removed")))
+    // partition per language: survivors + removed == docs
+    out.foreach { case (l, d, s, r) => assert(s + r == d, s"lang $l") }
+    // totals cover the whole corpus exactly once
+    assert(out.map(_._2).sum == Tables.documents(spark, sf0001).count())
+    // removed == the non-canonical members q48 labels
+    val expectRemoved = graft.ops.DedupOps.dedupClusters(spark, sf0001)
+      .where(!$"is_canonical").count()
+    assert(out.map(_._4).sum == expectRemoved)
+    // non-vacuous at fixture scale: the corpus has near-dup clusters
+    assert(expectRemoved > 0)
+  }
+
 }

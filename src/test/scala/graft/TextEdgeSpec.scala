@@ -21,7 +21,7 @@ class TextEdgeSpec extends SparkSpec {
   private val family = Seq(
     "q20_dedup_exact", "q21_minhash_lsh", "q22_simhash",
     "q23_ngram_jaccard", "q26_lang_id", "q27_quality_score",
-    "q28_token_count", "q29_fingerprint", "q48_dedup_clusters",
+    "q28_token_count", "q29_fingerprint", "q48_dedup_clusters", "q75_neardup_survivors",
     "q52_simhash_pairs", "q54_simhash64_pairs", "q57_boilerplate",
     "q58_repetition", "q61_contamination", "q62_det_split",
     "q63_salient_terms", "q65_token_budget", "q67_chunk_windows",
