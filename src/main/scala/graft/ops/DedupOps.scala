@@ -70,8 +70,19 @@ object DedupOps {
     * one md5(shingle) digest — independent uniform hashes from one
     * crypto-hash evaluation, deterministic across engines/executors.
     */
-  def minhashLsh(s: SparkSession, dir: String): DataFrame =
-    minhashPairs(s, dir)._1
+  def minhashLsh(s: SparkSession, dir: String): DataFrame = {
+    // Scope the signature cache to this call: materialize the (small)
+    // verified-pair set eagerly, then free the per-doc shingle arrays
+    // — the dominant memory consumer — exactly as q48 does before its
+    // propagation loop. Without this the cache outlives the query and
+    // taxes every later query in a long session (surfaced by the
+    // round-8 volume soak: factor-4 timings swung 4-10× from storage
+    // churn, and stabilized once the cache was scoped).
+    val (pairs, sig) = minhashPairs(s, dir)
+    val out = pairs.localCheckpoint(true)
+    sig.unpersist()
+    out
+  }
 
   /** The two LSH band keys (band id → concatenated minima slice) from
     * a minima accessor — the SINGLE definition of the banding scheme.
@@ -102,6 +113,20 @@ object DedupOps {
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
   }
 
+  /** Frequency cap on LSH band buckets: a band key shared by more
+    * than this many documents is treated as non-discriminative and
+    * generates NO candidates (the RefinedWeb/production-dedup
+    * convention — an over-common band minimum carries no similarity
+    * signal, and an uncapped hot bucket is the ONE quadratic term in
+    * an otherwise linear pipeline). Never binds on the test corpora
+    * (max bucket 20 at sf0.1) so registered results are unchanged;
+    * the round-8 volume soak measured the pathology it prevents: at
+    * 8× sf0.1 on the low-entropy synthetic vocabulary the largest
+    * bucket reached 377 docs ≈ 71k candidate pairs from one key.
+    * Mirrored in the DuckDB oracle ([[minhashCtes]]), so the cap is
+    * part of the checked semantics, not a Spark-side shortcut. */
+  val MaxBandBucket = 64
+
   /** Shared implementation returning (pairs, cached signature frame) —
     * q48 materializes the pairs and then unpersists the signature
     * cache (the per-doc shingle arrays are the dominant memory
@@ -124,7 +149,16 @@ object DedupOps {
     val bands = bandKeys(p => col(s"m$p")).map { case (b, k) =>
       sig.select($"doc_id", lit(b).as("band"), k.as("key"))
     }.reduce(_ union _)
-    val a = bands.as("a"); val b = bands.as("b")
+    // frequency cap (see MaxBandBucket): drop over-common band keys
+    // BEFORE the self-join — the size agg and the join shuffle on the
+    // same (band, key), so the bound costs one extra map-side-combined
+    // aggregation, not a new repartitioning of the data
+    val keepKeys = bands.groupBy($"band", $"key")
+      .agg(count(lit(1)).as("bsz"))
+      .where($"bsz" <= MaxBandBucket)
+      .select($"band", $"key")
+    val bounded = bands.join(keepKeys, Seq("band", "key"))
+    val a = bounded.as("a"); val b = bounded.as("b")
     val cand = a.join(b,
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
           $"a.doc_id" < $"b.doc_id")
@@ -172,9 +206,14 @@ object DedupOps {
     * oracles (ends after `pairs`; callers append further CTEs or the
     * final SELECT). */
   private[graft] def minhashCtes: String =
-    minhashBandCtes + s""", cand AS (
+    minhashBandCtes + s""", keep AS (
+       |  SELECT band, key FROM bands GROUP BY band, key
+       |  HAVING count(*) <= $MaxBandBucket
+       |), bounded AS (
+       |  SELECT b.doc_id, b.band, b.key FROM bands b JOIN keep USING (band, key)
+       |), cand AS (
        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-       |  FROM bands a JOIN bands b
+       |  FROM bounded a JOIN bounded b
        |    ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
        |), inter AS (
        |  SELECT c.doc_a, c.doc_b, count(*) AS n_inter

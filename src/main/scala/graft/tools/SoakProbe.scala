@@ -1,0 +1,73 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Volume-scaling soak for the document family (PLANS.md "would this
+  * hold at 1000×?"): builds a k×-replicated documents corpus and
+  * times the heavy registered queries on it, so the scaling SLOPE is
+  * measured, not asserted.
+  *
+  * Replication preserves the workload's structure instead of
+  * degenerating it: each replica's text is Caesar-rotated by its
+  * replica index (`translate` over the a-z alphabet), so replicas are
+  * mutually shingle-disjoint (no cross-replica near-dup blowup — a
+  * 10×-duplicated corpus would quadratically explode every LSH
+  * bucket) while each replica keeps the original's near-dup pairs
+  * exactly. Expected behavior of a scale-correct operator: work and
+  * wall-clock grow ~linearly in k, candidate pairs grow exactly k×.
+  *
+  * `runMain graft.tools.SoakProbe <sfDir> <factors...>` e.g.
+  * `... /root/testdata/sf0.1 1 2 4 8`. Output: one JSON line per
+  * factor with per-query seconds and result cardinalities.
+  */
+object SoakProbe {
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val factors =
+      if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+    val spark = SparkSession.builder().master("local[32]")
+      .appName("graft-soak")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.memory", "16g")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val alpha = "abcdefghijklmnopqrstuvwxyz"
+    val queries: Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = Seq(
+      ("q20_dedup_exact", graft.ops.DedupOps.dedupExact _),
+      ("q21_minhash_lsh", graft.ops.DedupOps.minhashLsh _),
+      ("q23_ngram_jaccard", graft.ops.DedupOps.ngramJaccard _),
+      ("q48_dedup_clusters", graft.ops.DedupOps.dedupClusters _),
+      ("q71_line_dedup", graft.ops.DedupOps.lineDedup _),
+      ("q73_shard_manifest", graft.ops.LayoutOps.shardManifest _),
+      ("q74_training_pipeline", graft.ops.PipelineOps.trainingPipeline _),
+      ("q75_neardup_survivors", graft.ops.DedupOps.neardupSurvivors _))
+
+    factors.foreach { k =>
+      val soakDir = s"/tmp/graft_soak_f$k"
+      val docs = graft.Tables.documents(spark, dir)
+      val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
+      val reps = (0 until k).map { r =>
+        val rot = alpha.drop(r % 26) + alpha.take(r % 26)
+        docs.select(
+          (col("doc_id") + lit(r.toLong * maxId)).as("doc_id"),
+          translate(col("text"), alpha, rot).as("text"),
+          col("lang"), col("source"), col("n_chars"))
+      }.reduce(_ unionAll _)
+      reps.write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
+      val cells = queries.map { case (name, fn) =>
+        val t0 = System.nanoTime()
+        // count() forces the full plan; cardinality doubles as a
+        // sanity check that structure scaled as predicted
+        val n = fn(spark, soakDir).count()
+        val secs = (System.nanoTime() - t0) / 1e9
+        s""""$name":{"sec":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"rows":$n}"""
+      }
+      println(s"""{"soak_factor":$k,"docs":${maxId * k},${cells.mkString(",")}}""")
+    }
+    spark.stop()
+  }
+}
