@@ -77,13 +77,15 @@ object SparkEntry {
         None),
       ("q49_salted_agg", SkewOps.saltedAgg _, Some(SkewOps.saltedAggSql)),
       ("q50_salted_join", SkewOps.saltedJoin _, Some(SkewOps.saltedJoinSql)),
-      ("q51_ann_quantized", SimilarityOps.annQuantized _,
+      ("q51_ann_quantized",
+        ((s, d) => SimilarityOps.annQuantized(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annQuantizedSql)),
       ("q52_simhash_pairs", DedupOps.simhashPairs _,
         Some(DedupOps.simhashPairsSql)),
       ("q54_simhash64_pairs", DedupOps.simhash64Pairs _,
         Some(DedupOps.simhash64PairsSql)),
-      ("q55_ann_multiprobe", SimilarityOps.annMultiProbe _,
+      ("q55_ann_multiprobe",
+        ((s, d) => SimilarityOps.annMultiProbe(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annMultiProbeSql)),
       ("q66_ann_recall", SimilarityOps.annRecall _,
         Some(SimilarityOps.annRecallSql)),

@@ -96,7 +96,14 @@ object SimilarityOps {
         |    ORDER BY cos_sim DESC, neighbor_id) AS rn FROM p
         |) WHERE rn <= 3""".stripMargin
 
-  /** Number of coarse-quantizer centroids for [[annQuantized]]. */
+  /** Number of coarse-quantizer centroids for [[annQuantized]] at
+    * the REGISTERED (oracle-checked) scale. The nlist scaling rule a
+    * deployment must follow: in-bucket pair work is ~n²/k, so k must
+    * grow with the corpus (k ≈ n / target-bucket-size) or IVF
+    * degenerates to bucketed brute force — the round-8 volume soak
+    * measured exactly that (fixed k=8 at 16× data: 47-105 s;
+    * k scaled 8→128: seconds, ~linear). Both quantizer queries take
+    * k as a parameter; only the default is wired to the oracle. */
   val QuantizerK = 8
 
   /** q51 — IVF with a REAL coarse quantizer (the piece q25 takes as a
@@ -120,14 +127,15 @@ object SimilarityOps {
     *    exactly q25's layout with bucket in place of label.
     * Ties in the argmax keep the smallest centroid_id (strict `>` in
     * the fold ≡ ROW_NUMBER ORDER BY sim DESC, centroid_id). */
-  def annQuantized(s: SparkSession, dir: String): DataFrame = {
+  def annQuantized(s: SparkSession, dir: String,
+      k: Int = QuantizerK): DataFrame = {
     import s.implicits._
     graft.functions.Functions.register(s)
     val e = withNorm(Tables.embeddings(s, dir))
     // one-row frame holding the centroid array, sorted by centroid id
     // (collect_list order is not deterministic; array_sort on the
     // struct's leading field pins it)
-    val cents = e.where($"vec_id" < QuantizerK)
+    val cents = e.where($"vec_id" < k)
       .select(struct($"vec_id".as("cid"), $"embedding".as("cemb"),
         $"nrm".as("cnrm")).as("c"))
       .agg(array_sort(collect_list($"c")).as("cents"))
@@ -200,11 +208,12 @@ object SimilarityOps {
     * scales with nprobe, which is the recall/cost dial. A data vector
     * has ONE bucket and probe buckets are distinct, so no candidate
     * dedup is needed. */
-  def annMultiProbe(s: SparkSession, dir: String): DataFrame = {
+  def annMultiProbe(s: SparkSession, dir: String,
+      k: Int = QuantizerK): DataFrame = {
     import s.implicits._
     graft.functions.Functions.register(s)
     val e = withNorm(Tables.embeddings(s, dir))
-    val cents = e.where($"vec_id" < QuantizerK)
+    val cents = e.where($"vec_id" < k)
       .select(struct($"vec_id".as("cid"), $"embedding".as("cemb"),
         $"nrm".as("cnrm")).as("c"))
       .agg(array_sort(collect_list($"c")).as("cents"))

@@ -46,6 +46,24 @@ object SoakProbe {
       ("q74_training_pipeline", graft.ops.PipelineOps.trainingPipeline _),
       ("q75_neardup_survivors", graft.ops.DedupOps.neardupSurvivors _))
 
+    // The IVF nlist scaling rule, measured: fixed k holds per-bucket
+    // size growing with the corpus (in-bucket pair work ~ n²/k →
+    // quadratic), scaled k (k ∝ corpus) holds bucket size constant
+    // (~linear). Fixed-k cells are capped at factor 4 — beyond that
+    // they are the measured pathology, not information.
+    def annQueries(factor: Int): Seq[(String, (SparkSession, String) => org.apache.spark.sql.DataFrame)] = {
+      val k0 = graft.ops.SimilarityOps.QuantizerK
+      val scaled = Seq(
+        ("q51_scaledK", (s: SparkSession, d: String) =>
+          graft.ops.SimilarityOps.annQuantized(s, d, k = k0 * factor)),
+        ("q55_scaledK", (s: SparkSession, d: String) =>
+          graft.ops.SimilarityOps.annMultiProbe(s, d, k = k0 * factor)))
+      val fixed = if (factor > 4) Nil else Seq(
+        ("q51_fixedK", (s: SparkSession, d: String) =>
+          graft.ops.SimilarityOps.annQuantized(s, d)))
+      scaled ++ fixed
+    }
+
     factors.foreach { k =>
       val soakDir = s"/tmp/graft_soak_f$k"
       val docs = graft.Tables.documents(spark, dir)
@@ -58,7 +76,23 @@ object SoakProbe {
           col("lang"), col("source"), col("n_chars"))
       }.reduce(_ unionAll _)
       reps.write.mode("overwrite").parquet(s"$soakDir/documents.parquet")
-      val cells = queries.map { case (name, fn) =>
+      // embeddings scale by per-replica DIMENSION rotation (the vector
+      // analogue of the Caesar trick): norms and within-replica
+      // geometry are preserved exactly, replicas land in different
+      // IVF buckets, and the seed-centroid fold sees k× the corpus
+      val emb = graft.Tables.embeddings(spark, dir)
+      val maxVid = emb.agg(max(col("vec_id"))).head().getLong(0) + 1L
+      val dims = emb.select(size(col("embedding"))).head().getInt(0)
+      val embReps = (0 until k).map { r =>
+        val rot = r % dims
+        emb.select(
+          (col("vec_id") + lit(r.toLong * maxVid)).as("vec_id"),
+          expr(s"concat(slice(embedding, ${rot + 1}, ${dims - rot}), " +
+            s"slice(embedding, 1, $rot))").as("embedding"),
+          col("label"))
+      }.reduce(_ unionAll _)
+      embReps.write.mode("overwrite").parquet(s"$soakDir/embeddings.parquet")
+      val cells = (queries ++ annQueries(k)).map { case (name, fn) =>
         val t0 = System.nanoTime()
         // count() forces the full plan; cardinality doubles as a
         // sanity check that structure scaled as predicted
