@@ -69,6 +69,45 @@ class DedupSimilaritySpec extends SparkSpec {
       .where($"bucket" =!= $"expected_bucket").count() == 0)
   }
 
+  test("parameterized nlist: non-default k keeps the argmax-assignment " +
+      "invariant and occupies more buckets (the scaling dial is real)") {
+    val k = 2 * SimilarityOps.QuantizerK
+    val fold = "aggregate(zip_with(%s, %s, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+      "(acc, x) -> acc + x)"
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .withColumn("nrm", sqrt(expr(fold.format("embedding", "embedding"))))
+    val c = e.where($"vec_id" < k)
+      .select($"vec_id".as("cid"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm"))
+    val w = Window.partitionBy($"vec_id").orderBy($"sim".desc, $"cid")
+    val expected = e.crossJoin(broadcast(c))
+      .withColumn("sim",
+        expr(fold.format("embedding", "cemb")) / ($"nrm" * $"cnrm"))
+      .withColumn("rn", row_number().over(w)).where($"rn" === 1)
+      .select($"vec_id", $"cid".as("expected_bucket"))
+    val got = SimilarityOps.annQuantized(spark, sf0001, k = k)
+      .select($"vec_id", $"bucket").distinct()
+    assert(got.count() > 0)
+    assert(got.join(expected, "vec_id")
+      .where($"bucket" =!= $"expected_bucket").count() == 0)
+    // doubling k must spread the corpus over MORE occupied buckets —
+    // this is exactly what keeps per-bucket work bounded at scale
+    val defaultOccupied = SimilarityOps.annQuantized(spark, sf0001)
+      .select($"bucket").distinct().count()
+    val scaledOccupied = got.select($"bucket").distinct().count()
+    assert(scaledOccupied > defaultOccupied,
+      s"k=$k occupies $scaledOccupied buckets vs $defaultOccupied at default")
+    // multi-probe at the same non-default k still answers every
+    // single-probe vector at least as well (the q55 monotonicity
+    // invariant survives the parameterization)
+    val one = SimilarityOps.annQuantized(spark, sf0001, k = k)
+      .where($"rn" === 1L).select($"vec_id", $"cos_sim".as("s1"))
+    val two = SimilarityOps.annMultiProbe(spark, sf0001, k = k)
+      .where($"rn" === 1L).select($"vec_id", $"cos_sim".as("s2"))
+    assert(one.join(two, "vec_id").where($"s2" < $"s1").count() == 0)
+  }
+
   test("q55 multi-probe: per-vector best neighbor is never worse than " +
       "single-probe q51 (recall is monotone in nprobe)") {
     val one = SimilarityOps.annQuantized(spark, sf0001)
