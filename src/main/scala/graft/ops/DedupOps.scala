@@ -349,14 +349,17 @@ object DedupOps {
     * to no cluster, or is its cluster's min-id representative —
     * reported as a per-language audit (docs, survivors, removed).
     *
-    * Scale shape: cluster MEMBERSHIP is small next to the corpus
+    * Scale shape: the labels come from the write-once artifact
+    * ([[graft.ops.LayoutOps.ensureClusterLabelLayout]]) — clustering
+    * runs once per corpus snapshot (q48 measures it), consumers read
+    * the result. Cluster MEMBERSHIP is small next to the corpus
     * (only docs with a ≥ 0.8-jaccard partner), so the corpus-side
-    * left join broadcasts the label frame and stays map-side — the
-    * only wide work is inside q48 itself; the rollup is a
-    * map-side-combinable (lang) aggregation. */
+    * left join broadcasts the label frame and stays map-side; the
+    * rollup is a map-side-combinable (lang) aggregation. */
   def neardupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val labels = dedupClusters(s, dir)
+    val labels = s.read
+      .parquet(LayoutOps.ensureClusterLabelLayout(s, dir))
       .select($"doc_id", $"is_canonical")
     Tables.documents(s, dir).select($"doc_id", $"lang")
       .join(broadcast(labels), Seq("doc_id"), "left")

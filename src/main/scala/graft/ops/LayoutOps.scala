@@ -282,6 +282,44 @@ object LayoutOps {
         col("c.doc_id").as("doc_corpus"))
   }
 
+  /** Directory name of the materialized near-dup cluster labels —
+    * shared by the builder, q75, and Bench warmup (same contract as
+    * [[BandIndexTable]]: consumers must read the artifact the warmup
+    * built, never rebuild their own). */
+  val ClusterLabelDir = "graft_cluster_labels"
+
+  /** Build (or reuse) the near-dup cluster labels (q48's output:
+    * `doc_id, canonical_id, is_canonical`) as a write-once parquet
+    * artifact; returns its path. Production shape: clustering runs
+    * ONCE per corpus snapshot (the full MinHash → LSH → verified-
+    * Jaccard → label-propagation chain, which q48 measures), and
+    * every downstream consumer — survivor selection (q75), reshard,
+    * audit — READS the labels instead of re-running the chain per
+    * stage. At 100 TB the artifact is two longs + a boolean per
+    * CLUSTERED doc (only docs with a ≥ threshold partner appear),
+    * orders of magnitude smaller than the text it labels.
+    *
+    * The fingerprint ties the artifact to the source corpus AND the
+    * dedup parameters (band-bucket cap, Jaccard threshold) — a
+    * parameter change must rebuild, or consumers would silently read
+    * labels computed under different semantics. */
+  def ensureClusterLabelLayout(s: SparkSession, dir: String): String = {
+    val path = new Path(
+      s.sessionState.conf.warehousePath, ClusterLabelDir)
+    val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val fp = sourceFingerprint(s, dir, Seq("documents"),
+      s"cluster-labels-v1-cap${DedupOps.MaxBandBucket}-j0.8")
+    val marker = new Path(path, "_graft_fingerprint")
+    if (!readMarker(fs, marker).contains(fp)) {
+      // overwrite clears the dir (stale marker included); the fresh
+      // marker lands only after the write commits
+      DedupOps.dedupClusters(s, dir)
+        .write.mode("overwrite").parquet(path.toString)
+      writeMarker(fs, marker, fp)
+    }
+    path.toString
+  }
+
   /** Bucketed co-located join: write both sides bucketed+sorted on the
     * join key (`bucketBy` + `saveAsTable`), then join — Spark reads
     * bucket metadata and skips BOTH shuffle exchanges. At 100 TB this

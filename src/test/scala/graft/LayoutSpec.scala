@@ -177,6 +177,35 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("cluster labels materialize once, rebuild on a stale marker, " +
+      "and the artifact equals a direct q48 run") {
+    import org.apache.hadoop.fs.Path
+    val first = LayoutOps.ensureClusterLabelLayout(spark, sf0001)
+    val p = new Path(first)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def newestDataMtime: Long = fs.listStatus(p)
+      .filterNot(_.getPath.getName.startsWith("_"))
+      .map(_.getModificationTime).max
+    val before = newestDataMtime
+    // unchanged corpus: second ensure reuses the artifact, no rewrite
+    LayoutOps.ensureClusterLabelLayout(spark, sf0001)
+    assert(newestDataMtime == before)
+    // stale marker (≡ corpus or dedup parameters changed): rebuild
+    Thread.sleep(1100) // mtime granularity can be a full second
+    val marker = new Path(p, "_graft_fingerprint")
+    val out = fs.create(marker, true)
+    out.write("stale".getBytes("UTF-8")); out.close()
+    LayoutOps.ensureClusterLabelLayout(spark, sf0001)
+    assert(newestDataMtime > before)
+    // the artifact IS q48's output — same rows, nothing dropped or
+    // invented by the parquet round-trip
+    val art = spark.read.parquet(first)
+      .as[(Long, Long, Boolean)].collect().toSet
+    val direct = graft.ops.DedupOps.dedupClusters(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect().toSet
+    assert(art == direct && art.nonEmpty)
+  }
+
   test("approx distinct is within rsd of exact") {
     val d = LayoutOps.approxDistinct(spark, sf0001)
     val bad = d.where(
