@@ -98,6 +98,14 @@ object SoakProbe {
         // sanity check that structure scaled as predicted
         val n = fn(spark, soakDir).count()
         val secs = (System.nanoTime() - t0) / 1e9
+        // the Bench isolation policy, plus the blocks Bench's
+        // clearCache can't see: localCheckpoint RDDs (q21's pair set,
+        // q48's label rounds) persist outside the catalog cache and
+        // accumulated across cells — a round-8 soak measured q48 at
+        // 48 s in-session vs 7.5-8.4 s isolated from exactly that
+        spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values
+          .foreach(_.unpersist(true))
         s""""$name":{"sec":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"rows":$n}"""
       }
       println(s"""{"soak_factor":$k,"docs":${maxId * k},${cells.mkString(",")}}""")
