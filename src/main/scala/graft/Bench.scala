@@ -114,8 +114,14 @@ object Bench {
             try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
             catch { case _: Throwable => -1.0 }
           // timings stay independent: no query benefits from (or pays
-          // eviction pressure for) another query's cached frames
+          // eviction pressure for) another query's cached frames.
+          // localCheckpoint blocks (q21/q23/q56 scope their caches by
+          // checkpointing the small result) live OUTSIDE the catalog
+          // cache — free them explicitly or they accumulate across
+          // the remaining ~200 timed runs
           spark.catalog.clearCache()
+          spark.sparkContext.getPersistentRDDs.values
+            .foreach(_.unpersist(true))
           secs
         }
         // ANY failed run makes the query report -1: a flaky crash must

@@ -127,6 +127,14 @@ object DedupOps {
     * part of the checked semantics, not a Spark-side shortcut. */
   val MaxBandBucket = 64
 
+  /** Jaccard threshold above which a verified pair is a near-dup
+    * EDGE (q48 clustering, q75 survivors). Referenced by the
+    * cluster-label artifact fingerprint
+    * ([[graft.ops.LayoutOps.ensureClusterLabelLayout]]) — changing it
+    * here changes the fingerprint, so stale artifacts rebuild instead
+    * of being silently reused under the old semantics. */
+  val JaccardThreshold = 0.8
+
   /** Shared implementation returning (pairs, cached signature frame) —
     * q48 materializes the pairs and then unpersists the signature
     * cache (the per-doc shingle arrays are the dominant memory
@@ -253,7 +261,7 @@ object DedupOps {
     */
   def dedupClusters(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val threshold = 0.8
+    val threshold = JaccardThreshold
     val (pairs, sig) = minhashPairs(s, dir)
     val edges = pairs
       .where($"jaccard" >= threshold)
@@ -322,11 +330,11 @@ object DedupOps {
     * two queries see cannot drift. */
   private val clustersCteSql: String =
     minhashCtes +
-      """,
+      s""",
         |edges AS (
-        |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.8
+        |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
         |  UNION ALL
-        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= 0.8
+        |  SELECT doc_b, doc_a FROM pairs WHERE jaccard >= $JaccardThreshold
         |),
         |reach(id, r) AS (
         |  SELECT DISTINCT doc_a, doc_a FROM edges
@@ -620,7 +628,7 @@ object DedupOps {
     // cold cache would run the kernel once per side
     bg.count()
     val a = bg.as("a"); val b = bg.as("b")
-    a.join(b,
+    val pairs = a.join(b,
         $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
           $"a.bigram" === $"b.bigram" && $"a.doc_id" < $"b.doc_id")
       .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
@@ -630,6 +638,13 @@ object DedupOps {
         ($"n_inter".cast("double") /
           ($"n_a" + $"n_b" - $"n_inter").cast("double")).as("jaccard"))
       .where($"jaccard" >= 0.05)
+    // scope the exploded-bigram cache to this call (the q21
+    // convention): materialize the small pair set, free the per-
+    // bigram frame — it is larger than the output and would
+    // otherwise outlive the query
+    val out = pairs.localCheckpoint(true)
+    bg.unpersist()
+    out
   }
 
   /** q71 — LINE-level exact dedup (the C4/RefinedWeb pipeline stage:

@@ -261,9 +261,20 @@ object LayoutOps {
   def ensureBandIndexLayout(s: SparkSession, dir: String,
       buckets: Int = DefaultBuckets): String = {
     val fp = sourceFingerprint(s, dir, Seq("documents"),
-      s"band-index-v2-b$buckets")
-    val idx = fuseBandKey(graft.ops.DedupOps.bandFrame(
+      s"band-index-v3-b$buckets-cap${graft.ops.DedupOps.MaxBandBucket}")
+    val banded = fuseBandKey(graft.ops.DedupOps.bandFrame(
       Tables.documents(s, dir).where(col("doc_id") % 10 =!= 0)))
+    // the q21/q48 frequency cap, applied at INDEX BUILD time: a band
+    // key shared by more than MaxBandBucket corpus docs carries no
+    // similarity signal and would emit bucket-size candidates per
+    // arriving doc, every micro-batch, forever — drop it once here
+    // instead. Mirrored in the q69 oracle; never binds at test SFs.
+    val keep = banded.groupBy(col("bkey"))
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= graft.ops.DedupOps.MaxBandBucket)
+      .select(col("bkey"))
+    val idx = banded.join(keep, Seq("bkey"))
+      .select(col("doc_id"), col("bkey"))
     ensureBucketedTable(s, BandIndexTable, idx, "bkey", buckets, fp)
     BandIndexTable
   }
@@ -308,7 +319,8 @@ object LayoutOps {
       s.sessionState.conf.warehousePath, ClusterLabelDir)
     val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
     val fp = sourceFingerprint(s, dir, Seq("documents"),
-      s"cluster-labels-v1-cap${DedupOps.MaxBandBucket}-j0.8")
+      s"cluster-labels-v1-cap${DedupOps.MaxBandBucket}" +
+        s"-j${DedupOps.JaccardThreshold}")
     val marker = new Path(path, "_graft_fingerprint")
     if (!readMarker(fs, marker).contains(fp)) {
       // overwrite clears the dir (stale marker included); the fresh

@@ -360,7 +360,13 @@ object SimilarityOps {
         .select($"bucket".as("cid"), $"cvec")
       assigned = assign(cents)
     }
-    assigned.select($"vec_id", $"bucket", $"best_sim")
+    // scope the unit-vector cache to this call (the q21/q23
+    // convention): the final assignment is small; the cached corpus
+    // of unit vectors is not, and must not outlive the query
+    val out = assigned.select($"vec_id", $"bucket", $"best_sim")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
   }
 
   /** DuckDB twin of [[annLloyd]] (rounds = 2, unrolled): seed assign

@@ -10,12 +10,19 @@ import org.apache.spark.sql.functions._
   *
   * Replication preserves the workload's structure instead of
   * degenerating it: each replica's text is Caesar-rotated by its
-  * replica index (`translate` over the a-z alphabet), so replicas are
-  * mutually shingle-disjoint (no cross-replica near-dup blowup — a
-  * 10×-duplicated corpus would quadratically explode every LSH
-  * bucket) while each replica keeps the original's near-dup pairs
-  * exactly. Expected behavior of a scale-correct operator: work and
-  * wall-clock grow ~linearly in k, candidate pairs grow exactly k×.
+  * replica index (`translate` over the a-z alphabet), so replicas
+  * are shingle-disjoint on ALPHABETIC runs (no wholesale
+  * cross-replica duplicate blowup — a 10×-duplicated corpus would
+  * quadratically explode every LSH bucket) while each replica keeps
+  * the original's near-dup pairs exactly. Two honest limits of the
+  * trick: shingles made of digits/punctuation/whitespace are NOT
+  * rotated and stay shared across replicas (one source of the
+  * low-jaccard cross-replica pairs and hot band buckets observed at
+  * high factors — the regime the MaxBandBucket cap exists for), and
+  * the alphabet has 26 rotations, so factors above 26 would
+  * reintroduce exact duplicate replicas (rejected at startup).
+  * Expected behavior of a scale-correct operator: wall-clock ~linear
+  * in k, ≥ threshold structure counts exactly k×.
   *
   * `runMain graft.tools.SoakProbe <sfDir> <factors...>` e.g.
   * `... /root/testdata/sf0.1 1 2 4 8`. Output: one JSON line per
@@ -26,12 +33,19 @@ object SoakProbe {
     val dir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val factors =
       if (args.length > 1) args.drop(1).map(_.toInt).toSeq else Seq(1, 2, 4)
+    require(factors.forall(f => f >= 1 && f <= 26),
+      s"factors must be in [1, 26] (got $factors): replica 26 would " +
+        "Caesar-rotate back to an exact duplicate of replica 0")
+    // NOTE: driver heap cannot be set here — the JVM is already
+    // running (sbt runMain / java -cp). Size it at launch:
+    // SPARK_DRIVER_MEM for sbt (build.sbt javaOptions) or -Xmx for
+    // bare java. A spark.driver.memory config at this point is a
+    // silent no-op.
     val spark = SparkSession.builder().master("local[32]")
       .appName("graft-soak")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
-      .config("spark.driver.memory", "16g")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -108,7 +122,10 @@ object SoakProbe {
           .foreach(_.unpersist(true))
         s""""$name":{"sec":${"%.2f".formatLocal(java.util.Locale.ROOT, secs)},"rows":$n}"""
       }
-      println(s"""{"soak_factor":$k,"docs":${maxId * k},${cells.mkString(",")}}""")
+      // actual row count, not max(doc_id)+1 × k — sparse ids would
+      // overstate the corpus and skew per-doc slope readings
+      val nDocs = spark.read.parquet(s"$soakDir/documents.parquet").count()
+      println(s"""{"soak_factor":$k,"docs":$nDocs,${cells.mkString(",")}}""")
     }
     spark.stop()
   }

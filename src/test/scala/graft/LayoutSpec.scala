@@ -163,10 +163,17 @@ class LayoutSpec extends SparkSpec {
         .findAllIn(plan).size
       assert(hits == 1, s"expected 1 bkey exchange, got $hits:\n$plan")
       // and the probe is RIGHT: identical pairs to the inline banding
-      // join q69 used before the index was materialized
+      // join q69 used before the index was materialized (with the
+      // index's corpus-side bucket cap mirrored — it never binds at
+      // fixture scale, but the expectation matches by construction)
       val got = q.as[(Long, Long)].collect().toSet
-      val corpus = graft.ops.DedupOps.bandFrame(
+      val corpusAll = graft.ops.DedupOps.bandFrame(
         Tables.documents(spark, sf0001).where($"doc_id" % 10 =!= 0))
+      val keep = corpusAll.groupBy($"band", $"key")
+        .agg(count(lit(1)).as("bsz"))
+        .where($"bsz" <= graft.ops.DedupOps.MaxBandBucket)
+        .select($"band", $"key")
+      val corpus = corpusAll.join(keep, Seq("band", "key"))
       val expect = arriving.as("n").join(corpus.as("c"),
           $"n.band" === $"c.band" && $"n.key" === $"c.key")
         .select($"n.doc_id", $"c.doc_id")
