@@ -119,6 +119,8 @@ object SparkEntry {
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q73_shard_manifest", LayoutOps.shardManifest _,
         Some(LayoutOps.shardManifestSql)),
+      ("q76_training_bins", LayoutOps.trainingBins _,
+        Some(LayoutOps.trainingBinsSql)),
       ("q74_training_pipeline", PipelineOps.trainingPipeline _,
         Some(PipelineOps.trainingPipelineSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,

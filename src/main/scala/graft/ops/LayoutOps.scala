@@ -389,15 +389,24 @@ object LayoutOps {
     * NShards × partials per partition, then NShards output rows; the
     * md5 nibble arithmetic is the q62 cross-engine bucket device
     * (hex-char strpos fold, identical in Spark SQL and DuckDB). */
+  /** The q62 cross-engine bucket device, hoisted for q73/q76: the
+    * first 8 hex digits of md5(doc_id) as a BIGINT, via a hex-char
+    * position fold that is expressible identically in Spark SQL
+    * ([[md5HexValSpark]]) and DuckDB ([[md5HexValDuck]]).
+    * CAST each term to BIGINT BEFORE the multiply: instr returns INT
+    * and 16^7 scales past Int.MaxValue — ANSI mode (Spark 4 default)
+    * throws ARITHMETIC_OVERFLOW on the int product. */
+  private def md5HexValSpark(c: String): String = (1 to 8).map(d =>
+    s"(CAST(instr('0123456789abcdef', substring(md5(cast($c AS string)), $d, 1)) AS BIGINT) - 1) * ${math.pow(16, 8 - d).toLong}")
+    .mkString(" + ")
+
+  private def md5HexValDuck(c: String): String = (1 to 8).map(d =>
+    s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $d, 1)) - 1) * ${math.pow(16, 8 - d).toLong}")
+    .mkString(" + ")
+
   def shardManifest(s: SparkSession, dir: String): DataFrame = {
-    // CAST each term to BIGINT BEFORE the multiply: instr returns INT
-    // and 16^7 scales past Int.MaxValue — ANSI mode (Spark 4 default)
-    // throws ARITHMETIC_OVERFLOW on the int product
-    val hexVal = (1 to 8).map(d =>
-      s"(CAST(instr('0123456789abcdef', substring(md5(cast(doc_id AS string)), $d, 1)) AS BIGINT) - 1) * ${math.pow(16, 8 - d).toLong}")
-      .mkString(" + ")
     Tables.documents(s, dir)
-      .withColumn("h", expr(s"CAST($hexVal AS BIGINT)"))
+      .withColumn("h", expr(s"CAST(${md5HexValSpark("doc_id")} AS BIGINT)"))
       .withColumn("shard", pmod(col("h"), lit(NShards.toLong)))
       .withColumn("toks",
         size(split(trim(col("text")), " +")).cast("long"))
@@ -406,21 +415,72 @@ object LayoutOps {
         expr("bit_xor(h)").as("checksum"))
   }
 
-  val shardManifestSql: String = {
-    val hexVal = (1 to 8).map(d =>
-      s"(strpos('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), $d, 1)) - 1) * ${math.pow(16, 8 - d).toLong}")
-      .mkString(" + ")
+  val shardManifestSql: String =
     s"""SELECT hv % $NShards AS shard,
        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
        |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
        |  CAST(bit_xor(hv) AS BIGINT) AS checksum
        |FROM (
-       |  SELECT CAST($hexVal AS BIGINT) AS hv,
+       |  SELECT CAST(${md5HexValDuck("doc_id")} AS BIGINT) AS hv,
        |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
        |      AS n_toks
        |  FROM documents)
        |GROUP BY 1""".stripMargin
+
+  /** Bin count of [[trainingBins]] — like [[NShards]], a deployment
+    * sets it to the writer parallelism it wants. */
+  val NBins = 8
+
+  /** q76 — balanced training-order bins: the COMPLEMENT of q73's
+    * content-hash sharding. Documents are ranked per language in the
+    * same deterministic md5(doc_id) order the packing/mixing stages
+    * use (q65/q68 convention), then round-robined over [[NBins]]
+    * bins — so within every language the bin DOC COUNTS are exactly
+    * balanced (max-min ≤ 1 by construction), where q73's mod-hash
+    * shards are only balanced in expectation. The trade, stated
+    * honestly: q73's assignment is content-stable under corpus
+    * growth (a new doc moves nothing); q76's rank-based assignment
+    * is stable only for a fixed corpus snapshot (a new doc shifts
+    * every later rank in its language) — which is fine for its job,
+    * binning one frozen training corpus for parallel writers. The
+    * audit is the q73 manifest shape per (lang, bin): docs, q28-
+    * convention tokens, order-independent XOR checksum.
+    *
+    * Scale shape: ONE exchange on lang for the rank window (O(1)
+    * running state per partition — q68's shape; a skewed language
+    * salts like q49), then a map-side-combinable (lang, bin) rollup.
+    * No global window: ranks are per-language by design, so no
+    * single-partition bottleneck exists. */
+  def trainingBins(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("h", expr(s"CAST(${md5HexValSpark("doc_id")} AS BIGINT)"))
+      .withColumn("ord", md5(col("doc_id").cast("string")))
+      .withColumn("toks",
+        size(split(trim(col("text")), " +")).cast("long"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("bin", pmod(col("rn") - 1, lit(NBins.toLong)))
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("n_tokens"),
+        expr("bit_xor(h)").as("checksum"))
   }
+
+  val trainingBinsSql: String =
+    s"""SELECT lang, (rn - 1) % $NBins AS bin,
+       |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+       |  CAST(SUM(n_toks) AS BIGINT) AS n_tokens,
+       |  CAST(bit_xor(hv) AS BIGINT) AS checksum
+       |FROM (
+       |  SELECT lang,
+       |    CAST(${md5HexValDuck("doc_id")} AS BIGINT) AS hv,
+       |    CAST(len(string_split_regex(trim(text), ' +')) AS BIGINT)
+       |      AS n_toks,
+       |    ROW_NUMBER() OVER (PARTITION BY lang
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+       |  FROM documents)
+       |GROUP BY 1, 2""".stripMargin
 
   /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
     * notes as absent from the reference; a north-star extension):

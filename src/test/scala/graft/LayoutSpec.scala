@@ -213,6 +213,33 @@ class LayoutSpec extends SparkSpec {
     assert(art == direct && art.nonEmpty)
   }
 
+  test("training bins: per-language doc counts balanced to ±1, corpus " +
+      "partitioned exactly once, assignment deterministic") {
+    val out = LayoutOps.trainingBins(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    // round-robin balance is BY CONSTRUCTION: within each language
+    // max and min bin population differ by at most 1
+    out.groupBy(_._1).foreach { case (lang, bins) =>
+      val counts = bins.map(_._3)
+      assert(counts.max - counts.min <= 1, s"lang $lang: $counts")
+      // every bin id in [0, NBins)
+      assert(bins.forall(b => b._2 >= 0 && b._2 < LayoutOps.NBins))
+    }
+    // bins partition the corpus: doc totals reconcile exactly
+    assert(out.map(_._3).sum ==
+      Tables.documents(spark, sf0001).count())
+    // token totals reconcile with the q28 convention corpus-wide
+    val tokTotal = Tables.documents(spark, sf0001)
+      .select(sum(size(split(trim($"text"), " +")).cast("long")))
+      .head().getLong(0)
+    assert(out.map(_._4).sum == tokTotal)
+    // content-derived order ⇒ bit-identical re-run
+    val again = LayoutOps.trainingBins(spark, sf0001)
+      .as[(String, Long, Long, Long, Long)].collect()
+    assert(out.sortBy(r => (r._1, r._2)).toSeq ==
+      again.sortBy(r => (r._1, r._2)).toSeq)
+  }
+
   test("approx distinct is within rsd of exact") {
     val d = LayoutOps.approxDistinct(spark, sf0001)
     val bad = d.where(
