@@ -157,6 +157,23 @@ class PlanSpec extends SparkSpec {
     assert("HashAggregate".r.findAllIn(plan).length >= 4) // partial+final
   }
 
+  test("q76: training bins plan ONE lang exchange that does not carry " +
+      "text, and the (lang, bin) rollup reuses the lang partitioning") {
+    val plan = formatted(graft.ops.LayoutOps.trainingBins(spark, sf0001))
+    // one Exchange node total (x2 prints in formatted): the window's
+    // lang hop; the rollup groups on (lang, bin) — a refinement of
+    // the existing partitioning, so it must NOT add a second shuffle
+    assert("Exchange ".r.findAllIn(plan).length <= 2,
+      s"expected a single exchange:\n$plan")
+    // the shuffle row is (doc_id, lang, h, ord, toks) — the text
+    // column must be projected away BEFORE the exchange
+    val exchangeDetail = plan.linesIterator
+      .dropWhile(!_.matches("""\(\d+\) Exchange\s*""")).take(3)
+      .mkString("\n")
+    assert(exchangeDetail.nonEmpty && !exchangeDetail.contains("text"),
+      s"text crossed the shuffle:\n$exchangeDetail")
+  }
+
   test("q74: the composed pipeline has ONE corpus-wide exchange and " +
       "Catalyst turns the dedup into a map-side WindowGroupLimit") {
     val plan = formatted(graft.ops.PipelineOps.trainingPipeline(spark, sf0001))
