@@ -127,6 +127,25 @@ object DedupOps {
     * part of the checked semantics, not a Spark-side shortcut. */
   val MaxBandBucket = 64
 
+  /** Drop rows whose band bucket holds more than [[MaxBandBucket]]
+    * members — THE cap implementation, shared by the batch pipeline
+    * ([[minhashPairs]], on (band, key)), the materialized q69 index
+    * ([[graft.ops.LayoutOps.ensureBandIndexLayout]], on the fused
+    * bkey), and the spec expectations, so cap semantics cannot drift
+    * between sites. `keyCols` is the bucket identity; the size
+    * aggregation groups — and the restricting join runs — on exactly
+    * those columns, so when the consumer shuffles on the same keys
+    * the cap costs one extra map-side-combined aggregation, not a
+    * new repartitioning. */
+  private[graft] def capBandBuckets(df: DataFrame,
+      keyCols: Seq[String]): DataFrame = {
+    val keep = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("bsz"))
+      .where(col("bsz") <= MaxBandBucket)
+      .select(keyCols.map(col): _*)
+    df.join(keep, keyCols)
+  }
+
   /** Jaccard threshold above which a verified pair is a near-dup
     * EDGE (q48 clustering, q75 survivors). Referenced by the
     * cluster-label artifact fingerprint
@@ -158,14 +177,8 @@ object DedupOps {
       sig.select($"doc_id", lit(b).as("band"), k.as("key"))
     }.reduce(_ union _)
     // frequency cap (see MaxBandBucket): drop over-common band keys
-    // BEFORE the self-join — the size agg and the join shuffle on the
-    // same (band, key), so the bound costs one extra map-side-combined
-    // aggregation, not a new repartitioning of the data
-    val keepKeys = bands.groupBy($"band", $"key")
-      .agg(count(lit(1)).as("bsz"))
-      .where($"bsz" <= MaxBandBucket)
-      .select($"band", $"key")
-    val bounded = bands.join(keepKeys, Seq("band", "key"))
+    // BEFORE the self-join — shared implementation with the q69 index
+    val bounded = capBandBuckets(bands, Seq("band", "key"))
     val a = bounded.as("a"); val b = bounded.as("b")
     val cand = a.join(b,
         $"a.band" === $"b.band" && $"a.key" === $"b.key" &&

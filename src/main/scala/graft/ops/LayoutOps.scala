@@ -262,20 +262,30 @@ object LayoutOps {
       buckets: Int = DefaultBuckets): String = {
     val fp = sourceFingerprint(s, dir, Seq("documents"),
       s"band-index-v3-b$buckets-cap${graft.ops.DedupOps.MaxBandBucket}")
-    val banded = fuseBandKey(graft.ops.DedupOps.bandFrame(
+    def banded = fuseBandKey(graft.ops.DedupOps.bandFrame(
       Tables.documents(s, dir).where(col("doc_id") % 10 =!= 0)))
+    // Cache the banded frame ONLY when a rebuild is actually due (the
+    // cap aggregation and its restricting join each rescan it, and a
+    // cold scan re-runs the minhash kernel over the whole corpus —
+    // the dominant build cost). On the fresh-marker path the frame
+    // stays lazy: at most its SCHEMA is consulted, so every q69 call
+    // after the first pays zero kernel work.
+    val loc = new Path(s.sessionState.conf.warehousePath, BandIndexTable)
+    val fs = loc.getFileSystem(s.sparkContext.hadoopConfiguration)
+    val stale =
+      !readMarker(fs, new Path(loc, "_graft_fingerprint")).contains(fp)
+    val cached = if (stale) Some(banded.cache()) else None
+    cached.foreach(_.count()) // materialize once before the two scans
     // the q21/q48 frequency cap, applied at INDEX BUILD time: a band
     // key shared by more than MaxBandBucket corpus docs carries no
     // similarity signal and would emit bucket-size candidates per
     // arriving doc, every micro-batch, forever — drop it once here
     // instead. Mirrored in the q69 oracle; never binds at test SFs.
-    val keep = banded.groupBy(col("bkey"))
-      .agg(count(lit(1)).as("bsz"))
-      .where(col("bsz") <= graft.ops.DedupOps.MaxBandBucket)
-      .select(col("bkey"))
-    val idx = banded.join(keep, Seq("bkey"))
+    val idx = graft.ops.DedupOps
+      .capBandBuckets(cached.getOrElse(banded), Seq("bkey"))
       .select(col("doc_id"), col("bkey"))
     ensureBucketedTable(s, BandIndexTable, idx, "bkey", buckets, fp)
+    cached.foreach(_.unpersist())
     BandIndexTable
   }
 

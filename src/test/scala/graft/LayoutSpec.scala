@@ -167,13 +167,10 @@ class LayoutSpec extends SparkSpec {
       // index's corpus-side bucket cap mirrored — it never binds at
       // fixture scale, but the expectation matches by construction)
       val got = q.as[(Long, Long)].collect().toSet
-      val corpusAll = graft.ops.DedupOps.bandFrame(
-        Tables.documents(spark, sf0001).where($"doc_id" % 10 =!= 0))
-      val keep = corpusAll.groupBy($"band", $"key")
-        .agg(count(lit(1)).as("bsz"))
-        .where($"bsz" <= graft.ops.DedupOps.MaxBandBucket)
-        .select($"band", $"key")
-      val corpus = corpusAll.join(keep, Seq("band", "key"))
+      val corpus = graft.ops.DedupOps.capBandBuckets(
+        graft.ops.DedupOps.bandFrame(
+          Tables.documents(spark, sf0001).where($"doc_id" % 10 =!= 0)),
+        Seq("band", "key"))
       val expect = arriving.as("n").join(corpus.as("c"),
           $"n.band" === $"c.band" && $"n.key" === $"c.key")
         .select($"n.doc_id", $"c.doc_id")

@@ -143,7 +143,11 @@ class PlanSpec extends SparkSpec {
     // exchange 1: window partition on line_hash; exchange 2: doc rollup
     // (formatted mode puts the keys on the Arguments detail line)
     assert("hashpartitioning\\(line_hash".r.findAllIn(plan).nonEmpty)
-    assert("Exchange ".r.findAllIn(plan).length <= 4) // 2 nodes x 2 prints
+    // "Exchange " (trailing space) hits only the TREE line of each
+    // node — the detail header "(N) Exchange" has none — so the count
+    // is per-NODE, not per-print (verified against real formatted
+    // output; the old x2 bound silently allowed twice the shuffles)
+    assert("Exchange ".r.findAllIn(plan).length <= 2) // 2 nodes
     // the shuffled row is (doc_id, ln, line_hash) - the token array
     // must be projected away BEFORE the exchange, so no `toks`
     // attribute may survive into the window stage
@@ -153,17 +157,18 @@ class PlanSpec extends SparkSpec {
 
   test("q73: shard manifest is one partial+final aggregation pass") {
     val plan = formatted(graft.ops.LayoutOps.shardManifest(spark, sf0001))
-    assert("Exchange ".r.findAllIn(plan).length <= 2) // 1 node x 2 prints
+    assert("Exchange ".r.findAllIn(plan).length <= 1) // per-node count
     assert("HashAggregate".r.findAllIn(plan).length >= 4) // partial+final
   }
 
   test("q76: training bins plan ONE lang exchange that does not carry " +
       "text, and the (lang, bin) rollup reuses the lang partitioning") {
     val plan = formatted(graft.ops.LayoutOps.trainingBins(spark, sf0001))
-    // one Exchange node total (x2 prints in formatted): the window's
-    // lang hop; the rollup groups on (lang, bin) — a refinement of
-    // the existing partitioning, so it must NOT add a second shuffle
-    assert("Exchange ".r.findAllIn(plan).length <= 2,
+    // one Exchange node total (the trailing-space pattern hits only
+    // tree lines, so this counts NODES): the window's lang hop; the
+    // rollup groups on (lang, bin) — a refinement of the existing
+    // partitioning, so it must NOT add a second shuffle
+    assert("Exchange ".r.findAllIn(plan).length <= 1,
       s"expected a single exchange:\n$plan")
     // the shuffle row is (doc_id, lang, h, ord, toks) — the text
     // column must be projected away BEFORE the exchange
@@ -180,10 +185,13 @@ class PlanSpec extends SparkSpec {
     // dedup rn=1 must plan as WindowGroupLimit (top-1 per md5 group
     // pre-filtered BEFORE the exchange), not a full window sort
     assert(plan.contains("WindowGroupLimit"))
-    // exchanges: md5(text) window + ONE rollup hop - nothing else
-    // (each node prints twice in formatted mode); the doc count is a
-    // conditional sum on chunk_id=0, so no distinct-agg Expand
-    assert("Exchange hashpartitioning".r.findAllIn(plan).length <= 4)
+    // exchanges: md5(text) window + ONE rollup hop - nothing else.
+    // Counted per NODE via the trailing-space tree-line pattern — the
+    // previous "Exchange hashpartitioning" pattern NEVER occurs in
+    // formatted mode (node args print on their own line), so the old
+    // assertion was vacuous. The doc count is a conditional sum on
+    // chunk_id=0, so no distinct-agg Expand
+    assert("Exchange ".r.findAllIn(plan).length <= 2)
     assert(!plan.contains("Expand"))
     // gate predicate evaluated at the scan stage, corpus columns pruned
     assert(!plan.contains("n_chars"))

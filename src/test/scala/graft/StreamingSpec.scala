@@ -111,16 +111,13 @@ class StreamingSpec extends SparkSpec {
     val got = StreamOps.streamIngestNeardup(spark, sf0001)
       .as[(Long, Long)].collect().toSet
     val docs = Tables.documents(spark, sf0001)
-    val corpusAll = DedupOps.bandFrame(docs.where($"doc_id" % 10 =!= 0))
     // cap parity with the materialized index: over-common corpus band
     // keys generate no candidates (never binds at fixture scale, but
-    // the expectation must mirror the index's construction)
-    val keepKeys = corpusAll.groupBy($"band", $"key")
-      .agg(org.apache.spark.sql.functions.count(
-        org.apache.spark.sql.functions.lit(1)).as("bsz"))
-      .where($"bsz" <= DedupOps.MaxBandBucket)
-      .select($"band", $"key")
-    val corpus = corpusAll.join(keepKeys, Seq("band", "key"))
+    // the expectation must mirror the index's construction — via the
+    // SAME shared implementation, so it cannot drift)
+    val corpus = DedupOps.capBandBuckets(
+      DedupOps.bandFrame(docs.where($"doc_id" % 10 =!= 0)),
+      Seq("band", "key"))
     val arriving = DedupOps.bandFrame(docs.where($"doc_id" % 10 === 0))
     val expected = arriving.as("n").join(corpus.as("c"),
         $"n.band" === $"c.band" && $"n.key" === $"c.key")
