@@ -45,6 +45,8 @@ object SparkEntry {
       ("q22_simhash", DedupOps.simhash _, Some(DedupOps.simhashSql)),
       ("q23_ngram_jaccard", DedupOps.ngramJaccard _, Some(DedupOps.ngramJaccardSql)),
       ("q71_line_dedup", DedupOps.lineDedup _, Some(DedupOps.lineDedupSql)),
+      ("q77_incremental_labels", DedupOps.incrementalLabels _,
+        Some(DedupOps.incrementalLabelsSql)),
       ("q75_neardup_survivors", DedupOps.neardupSurvivors _,
         Some(DedupOps.neardupSurvivorsSql)),
       ("q48_dedup_clusters", DedupOps.dedupClusters _, Some(DedupOps.dedupClustersSql)),

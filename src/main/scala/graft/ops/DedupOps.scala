@@ -159,12 +159,19 @@ object DedupOps {
     * cache (the per-doc shingle arrays are the dominant memory
     * consumer and are unused during label propagation). */
   private def minhashPairs(s: SparkSession,
-      dir: String): (DataFrame, DataFrame) = {
+      dir: String): (DataFrame, DataFrame) =
+    minhashPairsOf(Tables.documents(s, dir))
+
+  /** [[minhashPairs]] over an arbitrary (doc_id, text) frame — the
+    * frame-level core, so the incremental path (q77) can run the
+    * identical pair pipeline on the corpus slice alone. */
+  private def minhashPairsOf(docs: DataFrame): (DataFrame, DataFrame) = {
+    val s = docs.sparkSession
     import s.implicits._
     graft.functions.Functions.register(s)
     val minCols = (0 until nPerms).map(p =>
       $"sg.mins".getItem(p).as(s"m$p"))
-    val sig = Tables.documents(s, dir)
+    val sig = docs
       .where(length($"text") >= 5)
       .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
       .select(($"doc_id" +: $"sg.ss".as("ss") +: minCols): _*)
@@ -272,10 +279,17 @@ object DedupOps {
     * driver sees only the change counter. The oracle computes the same
     * labels via recursive reachability closure.
     */
-  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+  def dedupClusters(s: SparkSession, dir: String): DataFrame =
+    clustersOf(Tables.documents(s, dir))
+
+  /** [[dedupClusters]] over an arbitrary (doc_id, text) frame — the
+    * frame-level core, so the incremental path (q77) can cluster the
+    * already-ingested corpus slice with the identical algorithm. */
+  private[graft] def clustersOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
     import s.implicits._
     val threshold = JaccardThreshold
-    val (pairs, sig) = minhashPairs(s, dir)
+    val (pairs, sig) = minhashPairsOf(docs)
     val edges = pairs
       .where($"jaccard" >= threshold)
       .select($"doc_a", $"doc_b")
@@ -403,6 +417,156 @@ object DedupOps {
         |  SELECT id AS doc_id, id = MIN(r) AS is_canonical
         |  FROM reach GROUP BY id) c USING (doc_id)
         |GROUP BY lang""".stripMargin
+
+  /** (doc_id, ss) shingle sets for exact-Jaccard verification —
+    * the minhash signature's `ss` field without the banding minima,
+    * for paths (q77) that verify candidates produced elsewhere. */
+  private def sigSets(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    docs.where(length($"text") >= 5)
+      .select($"doc_id", expr("minhash_sig(lower(text)).ss").as("ss"))
+  }
+
+  /** q77 — INCREMENTAL label assignment, the stage that closes the
+    * continuous-ingest loop q69 opens: q69 detects that an arriving
+    * document collides with the corpus band index; q77 decides what
+    * label it gets — WITHOUT re-clustering the corpus. Each arriving
+    * doc (the `doc_id % 10 = 0` ingest slice, q69's convention)
+    * probes the MATERIALIZED capped band index, its candidates are
+    * verified with exact shingle Jaccard (cost ∝ candidates, never
+    * corpus²), and a verified ≥ [[JaccardThreshold]] match attaches
+    * the doc to the matched corpus doc's cluster canonical (an
+    * unclustered corpus partner is its own canonical). No match →
+    * the doc founds its own cluster (canonical = itself).
+    *
+    * Two honest semantic bounds of incremental assignment, both
+    * standard: (1) a new doc bridging TWO corpus clusters attaches to
+    * the min canonical and does NOT merge them — merges happen at the
+    * next full re-cluster (q48); (2) arriving docs are labeled
+    * against the corpus only, not against each other — two near-dup
+    * docs in the same arriving batch that match no corpus doc each
+    * found their own cluster until the batch is folded in.
+    *
+    * Scale shape: the corpus-side labels here are computed inline by
+    * [[clustersOf]] over the corpus slice (this query IS the
+    * correctness contract for them); a deployment reads them from the
+    * maintained label artifact
+    * ([[graft.ops.LayoutOps.ensureClusterLabelLayout]]) so the
+    * per-batch cost is probe + candidate-proportional verify + a
+    * broadcast label join — no corpus-sized work per batch. */
+  def incrementalLabels(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val corpus = docs.where($"doc_id" % 10 =!= 0)
+    val fresh = docs.where($"doc_id" % 10 === 0)
+    // candidate (new, corpus) pairs from the materialized capped index
+    val cand = LayoutOps
+      .bandIndexProbe(s, dir, bandFrame(fresh))
+      .select($"doc_new", $"doc_corpus").distinct()
+    // exact-Jaccard verification of the candidate set only
+    val verified = cand
+      .join(sigSets(fresh).select($"doc_id".as("doc_new"),
+        $"ss".as("ssn")), "doc_new")
+      .join(sigSets(corpus).select($"doc_id".as("doc_corpus"),
+        $"ss".as("ssc")), "doc_corpus")
+      .withColumn("n_inter",
+        size(array_intersect($"ssn", $"ssc")).cast("long"))
+      .where($"n_inter" > 0)
+      .withColumn("jaccard",
+        $"n_inter".cast("double") /
+          (size($"ssn") + size($"ssc") - $"n_inter").cast("double"))
+      .where($"jaccard" >= JaccardThreshold)
+      .select($"doc_new", $"doc_corpus")
+    // corpus cluster canonicals (labels cover only clustered docs;
+    // an unclustered match is its own canonical)
+    val labels = clustersOf(corpus)
+      .select($"doc_id".as("doc_corpus"), $"canonical_id")
+    val attached = verified
+      .join(broadcast(labels), Seq("doc_corpus"), "left")
+      .withColumn("canon", coalesce($"canonical_id", $"doc_corpus"))
+      .groupBy($"doc_new")
+      .agg(min($"canon").as("existing_canonical"))
+    fresh.select($"doc_id")
+      .join(broadcast(attached.select($"doc_new".as("doc_id"),
+        $"existing_canonical")), Seq("doc_id"), "left")
+      .select($"doc_id",
+        coalesce($"existing_canonical", $"doc_id").as("canonical_id"),
+        $"existing_canonical".isNotNull.as("attached"))
+  }
+
+  val incrementalLabelsSql: String =
+    minhashBandCtes +
+      s""", corpus AS (
+        |  SELECT doc_id, band, key FROM bands WHERE doc_id % 10 <> 0
+        |), keepc AS (
+        |  SELECT band, key FROM corpus GROUP BY band, key
+        |  HAVING count(*) <= $MaxBandBucket
+        |), cand_nc AS (
+        |  SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
+        |  FROM bands s
+        |  JOIN corpus c ON s.band = c.band AND s.key = c.key
+        |  JOIN keepc k ON k.band = c.band AND k.key = c.key
+        |  WHERE s.doc_id % 10 = 0
+        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+        |matches AS (
+        |  SELECT i.doc_new, i.doc_corpus
+        |  FROM (
+        |    SELECT c.doc_new, c.doc_corpus, count(*) AS n_inter
+        |    FROM cand_nc c
+        |    JOIN sh sa ON sa.doc_id = c.doc_new
+        |    JOIN sh sb ON sb.doc_id = c.doc_corpus
+        |      AND sb.shingle = sa.shingle
+        |    GROUP BY c.doc_new, c.doc_corpus
+        |  ) i
+        |  JOIN sizes za ON za.doc_id = i.doc_new
+        |  JOIN sizes zb ON zb.doc_id = i.doc_corpus
+        |  WHERE CAST(i.n_inter AS DOUBLE)
+        |      / CAST(za.n + zb.n - i.n_inter AS DOUBLE)
+        |    >= $JaccardThreshold
+        |), cand_cc AS (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM corpus a
+        |  JOIN corpus b ON a.band = b.band AND a.key = b.key
+        |    AND a.doc_id < b.doc_id
+        |  JOIN keepc k ON k.band = a.band AND k.key = a.key
+        |), pairs_cc AS (
+        |  SELECT i.doc_a, i.doc_b
+        |  FROM (
+        |    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
+        |    FROM cand_cc c
+        |    JOIN sh sa ON sa.doc_id = c.doc_a
+        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
+        |    GROUP BY c.doc_a, c.doc_b
+        |  ) i
+        |  JOIN sizes za ON za.doc_id = i.doc_a
+        |  JOIN sizes zb ON zb.doc_id = i.doc_b
+        |  WHERE CAST(i.n_inter AS DOUBLE)
+        |      / CAST(za.n + zb.n - i.n_inter AS DOUBLE)
+        |    >= $JaccardThreshold
+        |), edges AS (
+        |  SELECT doc_a, doc_b FROM pairs_cc
+        |  UNION ALL
+        |  SELECT doc_b, doc_a FROM pairs_cc
+        |), reach(id, r) AS (
+        |  SELECT DISTINCT doc_a, doc_a FROM edges
+        |  UNION
+        |  SELECT reach.id, e.doc_b FROM reach JOIN edges e ON e.doc_a = reach.r
+        |), labels AS (
+        |  SELECT id AS doc_corpus, MIN(r) AS canonical_id
+        |  FROM reach GROUP BY id
+        |), attached AS (
+        |  SELECT m.doc_new,
+        |    MIN(COALESCE(l.canonical_id, m.doc_corpus)) AS existing_canonical
+        |  FROM matches m LEFT JOIN labels l USING (doc_corpus)
+        |  GROUP BY m.doc_new
+        |)
+        |SELECT d.doc_id,
+        |  COALESCE(a.existing_canonical, d.doc_id) AS canonical_id,
+        |  a.existing_canonical IS NOT NULL AS attached
+        |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+        |LEFT JOIN attached a ON a.doc_new = d.doc_id""".stripMargin
 
   private val simhashBits = 16
 

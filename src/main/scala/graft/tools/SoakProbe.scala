@@ -59,7 +59,8 @@ object SoakProbe {
       ("q73_shard_manifest", graft.ops.LayoutOps.shardManifest _),
       ("q74_training_pipeline", graft.ops.PipelineOps.trainingPipeline _),
       ("q75_neardup_survivors", graft.ops.DedupOps.neardupSurvivors _),
-      ("q76_training_bins", graft.ops.LayoutOps.trainingBins _))
+      ("q76_training_bins", graft.ops.LayoutOps.trainingBins _),
+      ("q77_incremental_labels", graft.ops.DedupOps.incrementalLabels _))
 
     // The IVF nlist scaling rule, measured: fixed k holds per-bucket
     // size growing with the corpus (in-bucket pair work ~ n²/k →

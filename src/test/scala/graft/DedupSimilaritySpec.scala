@@ -360,6 +360,63 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(bad == 0)
   }
 
+  test("incremental labels: every arriving doc labeled exactly once, " +
+      "attachments reconcile with an inline band+jaccard+label rebuild") {
+    import org.apache.spark.sql.functions.{broadcast, coalesce}
+    val docs = Tables.documents(spark, sf0001)
+    val corpusDocs = docs.where($"doc_id" % 10 =!= 0)
+    val freshDocs = docs.where($"doc_id" % 10 === 0)
+    val got = DedupOps.incrementalLabels(spark, sf0001)
+      .as[(Long, Long, Boolean)].collect().toSet
+    // one label per arriving doc, no extras
+    assert(got.size == freshDocs.count())
+    assert(got.map(_._1) == freshDocs.select($"doc_id")
+      .as[Long].collect().toSet)
+    // unattached docs found their own cluster
+    got.filter(!_._3).foreach { case (id, canon, _) =>
+      assert(canon == id, s"unattached $id got canonical $canon")
+    }
+    // independent rebuild: inline capped band join (the q69 spec's
+    // device), exact jaccard >= threshold, min corpus canonical
+    def ss(d: org.apache.spark.sql.DataFrame) = {
+      graft.functions.Functions.register(spark)
+      d.where(length($"text") >= 5)
+        .select($"doc_id", expr("minhash_sig(lower(text)).ss").as("ss"))
+    }
+    val corpusBands = DedupOps.capBandBuckets(
+      DedupOps.bandFrame(corpusDocs), Seq("band", "key"))
+    val cand = DedupOps.bandFrame(freshDocs).as("n")
+      .join(corpusBands.as("c"),
+        $"n.band" === $"c.band" && $"n.key" === $"c.key")
+      .select($"n.doc_id".as("doc_new"), $"c.doc_id".as("doc_corpus"))
+      .distinct()
+    val verified = cand
+      .join(ss(freshDocs).select($"doc_id".as("doc_new"), $"ss".as("sn")),
+        "doc_new")
+      .join(ss(corpusDocs).select($"doc_id".as("doc_corpus"),
+        $"ss".as("sc")), "doc_corpus")
+      .withColumn("ni", size(array_intersect($"sn", $"sc")).cast("long"))
+      .where($"ni" > 0)
+      .where($"ni".cast("double") /
+        (size($"sn") + size($"sc") - $"ni").cast("double") >=
+          DedupOps.JaccardThreshold)
+    val labels = DedupOps.clustersOf(corpusDocs)
+      .select($"doc_id".as("doc_corpus"), $"canonical_id")
+    val expected = verified
+      .join(broadcast(labels), Seq("doc_corpus"), "left")
+      .groupBy($"doc_new")
+      .agg(min(coalesce($"canonical_id", $"doc_corpus")).as("canon"))
+      .as[(Long, Long)].collect().toMap
+    got.foreach { case (id, canon, attached) =>
+      assert(attached == expected.contains(id),
+        s"doc $id attachment mismatch")
+      if (attached) assert(canon == expected(id),
+        s"doc $id canonical $canon != expected ${expected(id)}")
+    }
+    // non-vacuous at fixture scale: someone attaches
+    assert(got.exists(_._3))
+  }
+
   test("near-dup survivor selection reconciles with the q48 labels " +
       "and removes someone") {
     val out = graft.ops.DedupOps.neardupSurvivors(spark, sf0001)

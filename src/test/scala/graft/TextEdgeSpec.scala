@@ -27,7 +27,7 @@ class TextEdgeSpec extends SparkSpec {
     "q63_salient_terms", "q65_token_budget", "q67_chunk_windows",
     "q68_sequence_pack", "q70_mixture_weights", "q71_line_dedup",
     "q72_pii_scrub", "q73_shard_manifest", "q74_training_pipeline",
-    "q76_training_bins")
+    "q76_training_bins", "q77_incremental_labels")
 
   /** Fixed adversarial docs + ScalaCheck-generated whitespace/NBSP
     * mixes. doc_ids are stable so failures reproduce. */
