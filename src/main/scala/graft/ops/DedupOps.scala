@@ -100,16 +100,33 @@ object DedupOps {
     * single-pass plan (sig once, bands via explode — no second scan
     * of the source), shared with the streaming ingest probe (q69).
     * Works on batch and streaming frames alike. */
-  private[graft] def bandFrame(docs: DataFrame): DataFrame = {
+  private[graft] def bandFrame(docs: DataFrame): DataFrame =
+    bandsOfSig(sigStruct(docs))
+
+  /** THE signature source: (doc_id, sg) where sg is the native
+    * minhash struct (shingle set `ss` + banding minima `mins`) over
+    * `length >= 5` docs. Every consumer — banding ([[bandsOfSig]]),
+    * the pair pipeline ([[minhashPairsOf]]), q77's verification —
+    * projects from this ONE definition, so the length guard and the
+    * normalization cannot drift between band keys and verification
+    * sets. Works on batch and streaming frames alike. */
+  private[graft] def sigStruct(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
     import s.implicits._
     graft.functions.Functions.register(s)
+    docs.where(length($"text") >= 5)
+      .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
+  }
+
+  /** The (doc_id, band, key) LSH index rows from a [[sigStruct]]
+    * frame (bands via explode — no second scan of the source). */
+  private[graft] def bandsOfSig(sig: DataFrame): DataFrame = {
+    val s = sig.sparkSession
+    import s.implicits._
     val bk = array(bandKeys(p => $"sg.mins".getItem(p)).map {
       case (b, k) => struct(lit(b).as("band"), k.as("key"))
     }: _*)
-    docs.where(length($"text") >= 5)
-      .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
-      .select($"doc_id", explode(bk).as("bk"))
+    sig.select($"doc_id", explode(bk).as("bk"))
       .select($"doc_id", $"bk.band".as("band"), $"bk.key".as("key"))
   }
 
@@ -168,12 +185,9 @@ object DedupOps {
   private def minhashPairsOf(docs: DataFrame): (DataFrame, DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
-    graft.functions.Functions.register(s)
     val minCols = (0 until nPerms).map(p =>
       $"sg.mins".getItem(p).as(s"m$p"))
-    val sig = docs
-      .where(length($"text") >= 5)
-      .select($"doc_id", expr("minhash_sig(lower(text))").as("sg"))
+    val sig = sigStruct(docs)
       .select(($"doc_id" +: $"sg.ss".as("ss") +: minCols): _*)
       .cache()
     // single-scan materialization: bands reads sig twice and the
@@ -418,17 +432,6 @@ object DedupOps {
         |  FROM reach GROUP BY id) c USING (doc_id)
         |GROUP BY lang""".stripMargin
 
-  /** (doc_id, ss) shingle sets for exact-Jaccard verification —
-    * the minhash signature's `ss` field without the banding minima,
-    * for paths (q77) that verify candidates produced elsewhere. */
-  private def sigSets(docs: DataFrame): DataFrame = {
-    val s = docs.sparkSession
-    import s.implicits._
-    graft.functions.Functions.register(s)
-    docs.where(length($"text") >= 5)
-      .select($"doc_id", expr("minhash_sig(lower(text)).ss").as("ss"))
-  }
-
   /** q77 — INCREMENTAL label assignment, the stage that closes the
     * continuous-ingest loop q69 opens: q69 detects that an arriving
     * document collides with the corpus band index; q77 decides what
@@ -461,16 +464,32 @@ object DedupOps {
     val docs = Tables.documents(s, dir)
     val corpus = docs.where($"doc_id" % 10 =!= 0)
     val fresh = docs.where($"doc_id" % 10 === 0)
-    // candidate (new, corpus) pairs from the materialized capped index
+    // ONE kernel pass over the arriving slice serves both its band
+    // keys and its verification sets (the q21 cache-scoping
+    // convention: cache, consume, checkpoint the small result,
+    // free). No pre-materializing count() is needed: the eager cand
+    // checkpoint below is the first action and populates the cache
+    // before any concurrent consumer exists.
+    val freshSig = sigStruct(fresh).cache()
+    // candidate (new, corpus) pairs from the materialized capped
+    // index; checkpointed because both the corpus semi-join and the
+    // verification read it
     val cand = LayoutOps
-      .bandIndexProbe(s, dir, bandFrame(fresh))
+      .bandIndexProbe(s, dir, bandsOfSig(freshSig))
       .select($"doc_new", $"doc_corpus").distinct()
+      .localCheckpoint(true)
+    // corpus-side kernel work is CANDIDATE-proportional: only the
+    // matched corpus docs (left-semi against the tiny candidate id
+    // set) compute signatures — never the whole corpus
+    val matchedCorpus = corpus.join(
+      broadcast(cand.select($"doc_corpus".as("doc_id")).distinct()),
+      Seq("doc_id"), "left_semi")
     // exact-Jaccard verification of the candidate set only
     val verified = cand
-      .join(sigSets(fresh).select($"doc_id".as("doc_new"),
-        $"ss".as("ssn")), "doc_new")
-      .join(sigSets(corpus).select($"doc_id".as("doc_corpus"),
-        $"ss".as("ssc")), "doc_corpus")
+      .join(freshSig.select($"doc_id".as("doc_new"),
+        $"sg.ss".as("ssn")), "doc_new")
+      .join(sigStruct(matchedCorpus).select($"doc_id".as("doc_corpus"),
+        $"sg.ss".as("ssc")), "doc_corpus")
       .withColumn("n_inter",
         size(array_intersect($"ssn", $"ssc")).cast("long"))
       .where($"n_inter" > 0)
@@ -488,64 +507,76 @@ object DedupOps {
       .withColumn("canon", coalesce($"canonical_id", $"doc_corpus"))
       .groupBy($"doc_new")
       .agg(min($"canon").as("existing_canonical"))
-    fresh.select($"doc_id")
+    val out = fresh.select($"doc_id")
       .join(broadcast(attached.select($"doc_new".as("doc_id"),
         $"existing_canonical")), Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"existing_canonical", $"doc_id").as("canonical_id"),
         $"existing_canonical".isNotNull.as("attached"))
+      .localCheckpoint(true)
+    freshSig.unpersist()
+    out
   }
 
+  /** The corpus-slice band rows + corpus-side bucket cap as CTEs —
+    * the SQL mirror of [[capBandBuckets]] applied to the ingest
+    * split, shared by the q69 and q77 oracles. Requires `bands` in
+    * scope ([[minhashBandCtes]]). */
+  private[graft] def corpusBandCtesSql: String =
+    s""", corpus AS (
+       |  SELECT doc_id, band, key FROM bands WHERE doc_id % 10 <> 0
+       |), keepc AS (
+       |  SELECT band, key FROM corpus GROUP BY band, key
+       |  HAVING count(*) <= $MaxBandBucket
+       |)""".stripMargin
+
+  /** The (new × corpus) capped band-candidate set as a CTE — the
+    * SQL mirror of [[graft.ops.LayoutOps.bandIndexProbe]], shared by
+    * the q69 (final select) and q77 (verification input) oracles. */
+  private[graft] def candNcCteSql: String =
+    """, cand_nc AS (
+      |  SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
+      |  FROM bands s
+      |  JOIN corpus c ON s.band = c.band AND s.key = c.key
+      |  JOIN keepc k ON k.band = c.band AND k.key = c.key
+      |  WHERE s.doc_id % 10 = 0
+      |)""".stripMargin
+
+  /** Exact-Jaccard ≥ [[JaccardThreshold]] verification of a
+    * candidate CTE, emitted as a CTE — ONE definition of the
+    * shingle-join verification tail (q77 instantiates it for both
+    * its candidate sets). Requires `sh` and `sizes` in scope. */
+  private def jaccardVerifyCteSql(candCte: String, aCol: String,
+      bCol: String, outCte: String): String =
+    s""", $outCte AS (
+       |  SELECT i.$aCol, i.$bCol
+       |  FROM (
+       |    SELECT c.$aCol, c.$bCol, count(*) AS n_inter
+       |    FROM $candCte c
+       |    JOIN sh sa ON sa.doc_id = c.$aCol
+       |    JOIN sh sb ON sb.doc_id = c.$bCol AND sb.shingle = sa.shingle
+       |    GROUP BY c.$aCol, c.$bCol
+       |  ) i
+       |  JOIN sizes za ON za.doc_id = i.$aCol
+       |  JOIN sizes zb ON zb.doc_id = i.$bCol
+       |  WHERE CAST(i.n_inter AS DOUBLE)
+       |      / CAST(za.n + zb.n - i.n_inter AS DOUBLE)
+       |    >= $JaccardThreshold
+       |)""".stripMargin
+
   val incrementalLabelsSql: String =
-    minhashBandCtes +
-      s""", corpus AS (
-        |  SELECT doc_id, band, key FROM bands WHERE doc_id % 10 <> 0
-        |), keepc AS (
-        |  SELECT band, key FROM corpus GROUP BY band, key
-        |  HAVING count(*) <= $MaxBandBucket
-        |), cand_nc AS (
-        |  SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
-        |  FROM bands s
-        |  JOIN corpus c ON s.band = c.band AND s.key = c.key
-        |  JOIN keepc k ON k.band = c.band AND k.key = c.key
-        |  WHERE s.doc_id % 10 = 0
-        |), sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
-        |matches AS (
-        |  SELECT i.doc_new, i.doc_corpus
-        |  FROM (
-        |    SELECT c.doc_new, c.doc_corpus, count(*) AS n_inter
-        |    FROM cand_nc c
-        |    JOIN sh sa ON sa.doc_id = c.doc_new
-        |    JOIN sh sb ON sb.doc_id = c.doc_corpus
-        |      AND sb.shingle = sa.shingle
-        |    GROUP BY c.doc_new, c.doc_corpus
-        |  ) i
-        |  JOIN sizes za ON za.doc_id = i.doc_new
-        |  JOIN sizes zb ON zb.doc_id = i.doc_corpus
-        |  WHERE CAST(i.n_inter AS DOUBLE)
-        |      / CAST(za.n + zb.n - i.n_inter AS DOUBLE)
-        |    >= $JaccardThreshold
-        |), cand_cc AS (
+    minhashBandCtes + corpusBandCtesSql + candNcCteSql +
+      ", sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id)" +
+      jaccardVerifyCteSql("cand_nc", "doc_new", "doc_corpus", "matches") +
+      s""", cand_cc AS (
         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
         |  FROM corpus a
         |  JOIN corpus b ON a.band = b.band AND a.key = b.key
         |    AND a.doc_id < b.doc_id
         |  JOIN keepc k ON k.band = a.band AND k.key = a.key
-        |), pairs_cc AS (
-        |  SELECT i.doc_a, i.doc_b
-        |  FROM (
-        |    SELECT c.doc_a, c.doc_b, count(*) AS n_inter
-        |    FROM cand_cc c
-        |    JOIN sh sa ON sa.doc_id = c.doc_a
-        |    JOIN sh sb ON sb.doc_id = c.doc_b AND sb.shingle = sa.shingle
-        |    GROUP BY c.doc_a, c.doc_b
-        |  ) i
-        |  JOIN sizes za ON za.doc_id = i.doc_a
-        |  JOIN sizes zb ON zb.doc_id = i.doc_b
-        |  WHERE CAST(i.n_inter AS DOUBLE)
-        |      / CAST(za.n + zb.n - i.n_inter AS DOUBLE)
-        |    >= $JaccardThreshold
-        |), edges AS (
+        |)""".stripMargin +
+      jaccardVerifyCteSql("cand_cc", "doc_a", "doc_b", "pairs_cc") +
+      s""", edges AS (
         |  SELECT doc_a, doc_b FROM pairs_cc
         |  UNION ALL
         |  SELECT doc_b, doc_a FROM pairs_cc

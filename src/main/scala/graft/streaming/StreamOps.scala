@@ -318,16 +318,7 @@ object StreamOps {
 
   val streamIngestNeardupSql: String =
     graft.ops.DedupOps.minhashBandCtes +
-      s"""
-        |, corpus AS (
-        |  SELECT doc_id, band, key FROM bands WHERE doc_id % 10 <> 0
-        |), keepc AS (
-        |  SELECT band, key FROM corpus GROUP BY band, key
-        |  HAVING count(*) <= ${graft.ops.DedupOps.MaxBandBucket}
-        |)
-        |SELECT DISTINCT s.doc_id AS doc_new, c.doc_id AS doc_corpus
-        |FROM bands s
-        |JOIN corpus c ON s.band = c.band AND s.key = c.key
-        |JOIN keepc k ON k.band = c.band AND k.key = c.key
-        |WHERE s.doc_id % 10 = 0""".stripMargin
+      graft.ops.DedupOps.corpusBandCtesSql +
+      graft.ops.DedupOps.candNcCteSql +
+      "\nSELECT doc_new, doc_corpus FROM cand_nc"
 }
