@@ -67,6 +67,8 @@ object SparkEntry {
         Some(MultimodalOps.mediaFeaturesSql)),
       ("q34_stream_windows", StreamOps.streamEventWindows _, Some(StreamOps.streamEventWindowsSql)),
       ("q35_embed_neardup", SimilarityOps.embedNearDup _, Some(SimilarityOps.embedNearDupSql)),
+      ("q78_semantic_dedup", SimilarityOps.semanticDedup _,
+        Some(SimilarityOps.semanticDedupSql)),
       ("q38_sessionize", StatsOps.sessionize _, Some(StatsOps.sessionizeSql)),
       ("q39_cube", StatsOps.cubeCounts _, Some(StatsOps.cubeCountsSql)),
       ("q40_percentiles", StatsOps.percentiles _, Some(StatsOps.percentilesSql)),

@@ -315,6 +315,24 @@ object DedupOps {
     // the per-doc shingle arrays are dead weight from here on — free
     // them before the propagation loop competes for storage memory
     sig.unpersist()
+    val labels = propagateMin(edges)
+    edges.unpersist()
+    labels.select($"id".as("doc_id"), $"label".as("canonical_id"))
+      .withColumn("is_canonical", $"doc_id" === $"canonical_id")
+  }
+
+  /** Min-label propagation with pointer jumping over an undirected
+    * edge set — the connected-components core shared by the shingle
+    * dedup family (q48/q77 via [[clustersOf]]) and the embedding-space
+    * dedup (q78, [[graft.ops.SimilarityOps.semanticDedup]]). Input is
+    * ONE row per edge (doc_a, doc_b), already MATERIALIZED by the
+    * caller (cached or checkpointed — the loop scans it every round);
+    * output is (id, label) where label = min reachable id, one row per
+    * endpoint. All data stays distributed; the driver sees only the
+    * per-round change counter. */
+  private[graft] def propagateMin(edges: DataFrame): DataFrame = {
+    val s = edges.sparkSession
+    import s.implicits._
     val sym = edges
       .union(edges.select($"doc_b".as("doc_a"), $"doc_a".as("doc_b")))
     var labels = sym.select($"doc_a".as("id")).distinct()
@@ -357,12 +375,10 @@ object DedupOps {
     }
     if (changed > 0)
       org.slf4j.LoggerFactory.getLogger(getClass).warn(
-        s"dedupClusters: propagation not converged after $rounds rounds " +
+        s"propagateMin: propagation not converged after $rounds rounds " +
           s"($changed labels still moving) — results approximate; raise " +
           "the round cap or use large-star/small-star")
-    edges.unpersist()
-    labels.select($"id".as("doc_id"), $"label".as("canonical_id"))
-      .withColumn("is_canonical", $"doc_id" === $"canonical_id")
+    labels
   }
 
   /** The q48 cluster computation as a reusable CTE chain (transitive

@@ -314,6 +314,25 @@ object SimilarityOps {
     * k×d output rows, broadcast back. Rounds are O(1) jobs each. */
   def annLloyd(s: SparkSession, dir: String, rounds: Int = 2): DataFrame = {
     import s.implicits._
+    val (assigned, e) = lloydAssign(s, dir, rounds)
+    // scope the unit-vector cache to this call (the q21/q23
+    // convention): the final assignment is small; the cached corpus
+    // of unit vectors is not, and must not outlive the query
+    val out = assigned.select($"vec_id", $"bucket", $"best_sim")
+      .localCheckpoint(true)
+    e.unpersist()
+    out
+  }
+
+  /** The Lloyd loop behind [[annLloyd]], exposed with the unit
+    * vectors still attached: (vec_id, unit, bucket, best_sim) after
+    * `rounds` refinements, plus the cached unit-vector frame the
+    * result's lineage reads — the CALLER must unpersist it once the
+    * assignment has been consumed (q56 projects and checkpoints;
+    * q78 keeps `unit` for the in-bucket pair join). */
+  private def lloydAssign(s: SparkSession, dir: String,
+      rounds: Int): (DataFrame, DataFrame) = {
+    import s.implicits._
     graft.functions.Functions.register(s)
     val e = withNorm(Tables.embeddings(s, dir))
       .withColumn("unit",
@@ -360,13 +379,7 @@ object SimilarityOps {
         .select($"bucket".as("cid"), $"cvec")
       assigned = assign(cents)
     }
-    // scope the unit-vector cache to this call (the q21/q23
-    // convention): the final assignment is small; the cached corpus
-    // of unit vectors is not, and must not outlive the query
-    val out = assigned.select($"vec_id", $"bucket", $"best_sim")
-      .localCheckpoint(true)
-    e.unpersist()
-    out
+    (assigned, e)
   }
 
   /** DuckDB twin of [[annLloyd]] (rounds = 2, unrolled): seed assign
@@ -374,7 +387,14 @@ object SimilarityOps {
     * VARCHAR-routed decimal cast matches Spark's shortest-repr
     * quantization (see the scaladoc above); every other number is the
     * same left-to-right fold as the q51/q55 oracles. */
-  val annLloydSql: String = {
+  val annLloydSql: String =
+    lloydCtes + "\nSELECT vec_id, bucket, best_sim FROM a2"
+
+  /** The Lloyd CTE chain (seed → 2 refinement rounds → final
+    * assignment `a2` carrying vec_id, unit, bucket, best_sim) shared
+    * by the q56 and q78 oracles — the SQL mirror of [[lloydAssign]].
+    * Declared RECURSIVE so q78 can append its reachability closure. */
+  private lazy val lloydCtes: String = {
     // assignment of every unit vector to its best centroid: highest
     // cosine, ties to the smallest cid — ROW_NUMBER(sim DESC, cid) ≡
     // Spark's strict-> fold over the cid-sorted centroid array
@@ -406,7 +426,7 @@ object SimilarityOps {
          |    GROUP BY bucket, dim
          |  ) GROUP BY bucket
          |)""".stripMargin
-    s"""WITH en AS (
+    s"""WITH RECURSIVE en AS (
        |  SELECT vec_id, embedding,
        |    sqrt(list_reduce(list_transform(embedding,
        |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
@@ -419,8 +439,7 @@ object SimilarityOps {
        |), c0 AS (
        |  SELECT vec_id AS cid, unit AS cvec FROM e WHERE vec_id < $QuantizerK
        |)${assign("c0", "a0")}${update("a0", "c1")}${assign("c1", "a1")}${
-        update("a1", "c2")}${assign("c2", "a2")}
-       |SELECT vec_id, bucket, best_sim FROM a2""".stripMargin
+        update("a1", "c2")}${assign("c2", "a2")}""".stripMargin
   }
 
   /** Per-method recall floors q66 asserts. Measured recall@3 is
@@ -586,4 +605,117 @@ object SimilarityOps {
       |WHERE list_reduce(list_transform(list_zip(a.embedding, b.embedding),
       |    t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
       |    (acc, x) -> acc + x) / (a.nrm * b.nrm) >= 0.45""".stripMargin
+
+  /** Cosine at/above which two same-bucket embeddings count as
+    * semantic duplicates (q78). Chosen against the synthetic corpus'
+    * in-bucket cosine distribution: ≥ the 99.85th percentile at every
+    * SF (19/26/330 edges at sf0.001/0.01/0.1 — non-degenerate
+    * everywhere, still clearly a tail). Real text embeddings cluster
+    * much tighter; a deployment retunes per embedding model. */
+  val SemDedupThreshold = 0.40
+
+  /** q78 — SEMANTIC deduplication (SemDeDup, Abbas et al. 2023,
+    * arXiv:2303.09540): the embedding-space member of the dedup
+    * family with a sub-quadratic candidate structure. The reference's
+    * near-dup surface is shingle-based (ref crz/09_*.py dedup joins);
+    * a training corpus also carries SEMANTIC copies — paraphrases,
+    * translations, re-renders — invisible to shingles, so production
+    * pipelines dedup in embedding space, and all-pairs cosine (q35)
+    * cannot be the mechanism at 100 TB.
+    *
+    * Pipeline: (1) spherical k-means buckets from the q56 Lloyd loop
+    * (broadcast-assign, zero shuffle); (2) cosine ≥
+    * [[SemDedupThreshold]] pairs WITHIN a bucket only — the
+    * bucket-keyed self-join shuffles on bucket id and does n²/k work
+    * against q35's n²; (3) connected components over those edges
+    * ([[graft.ops.DedupOps.propagateMin]], the q48 core); (4) per
+    * group, KEEP the member least similar to its centroid — the
+    * paper's diversity-preserving rule (centroid-typical members are
+    * the redundant ones) — ties broken by vec_id, argmin computed as
+    * a map-side-combinable min over struct(best_sim, vec_id).
+    *
+    * Output: one row per vec that has at least one semantic
+    * duplicate. Keeper semantics are judged scale-honest: labels +
+    * keepers are edge-endpoint-sized, so the final joins broadcast. */
+  def semanticDedup(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (assigned0, e) = lloydAssign(s, dir, rounds = 2)
+    val assigned = assigned0.cache()
+    // single-scan materialization: the pair join reads assigned twice
+    // (build + probe side) — a cold cache would re-run the Lloyd
+    // rounds per branch; count() also lets the unit-vector cache go
+    assigned.count()
+    e.unpersist()
+    val edges = semanticEdgesOf(assigned)
+      .localCheckpoint(true) // propagateMin scans edges every round
+    val labels = DedupOps.propagateMin(edges)
+      .select($"id".as("vec_id"), $"label".as("group_id"))
+    // labels are edge-endpoint-sized (small); the corpus-sized side
+    // is assigned — broadcast the small side into both joins
+    val scored = assigned.select($"vec_id", $"best_sim")
+      .join(broadcast(labels), Seq("vec_id"))
+    val keep = scored.groupBy($"group_id")
+      .agg(min(struct($"best_sim", $"vec_id")).as("k"))
+      .select($"group_id", $"k.vec_id".as("keeper_id"))
+    val out = scored
+      .join(broadcast(keep), Seq("group_id"))
+      .select($"vec_id", $"group_id", $"keeper_id",
+        ($"vec_id" === $"keeper_id").as("is_keeper"))
+      .localCheckpoint(true)
+    assigned.unpersist()
+    out
+  }
+
+  /** The q78 candidate structure from an assignment frame (vec_id,
+    * unit, bucket, …): cosine ≥ [[SemDedupThreshold]] pairs WITHIN a
+    * bucket — an equi-join on bucket id (the n²/k shape), never a
+    * cartesian. Exposed for the plan lock. */
+  private[graft] def semanticEdgesOf(assigned: DataFrame): DataFrame = {
+    val s = assigned.sparkSession
+    import s.implicits._
+    val cos = "aggregate(zip_with(ua, ub, (x, y) -> x * y), " +
+      "CAST(0 AS DOUBLE), (acc, x) -> acc + x)"
+    val a = assigned.select($"vec_id".as("doc_a"), $"unit".as("ua"),
+      $"bucket")
+    val b = assigned.select($"vec_id".as("doc_b"), $"unit".as("ub"),
+      $"bucket")
+    a.join(b, Seq("bucket"))
+      .where($"doc_a" < $"doc_b" && expr(cos) >= SemDedupThreshold)
+      .select($"doc_a", $"doc_b")
+  }
+
+  /** DuckDB twin of [[semanticDedup]]: the q56 Lloyd CTEs, the
+    * in-bucket edge set on the same left-to-right cosine fold, a
+    * recursive min-reachability closure (the q48 oracle pattern), and
+    * the (best_sim, vec_id) argmin keeper. */
+  val semanticDedupSql: String =
+    lloydCtes +
+      s""", sedges AS (
+         |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+         |  FROM a2 a JOIN a2 b ON a.bucket = b.bucket
+         |    AND a.vec_id < b.vec_id
+         |  WHERE list_reduce(list_transform(list_zip(a.unit, b.unit),
+         |      t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+         |      (acc, x) -> acc + x) >= $SemDedupThreshold
+         |), sym AS (
+         |  SELECT doc_a, doc_b FROM sedges
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM sedges
+         |), reach(id, r) AS (
+         |  SELECT DISTINCT doc_a, doc_a FROM sym
+         |  UNION
+         |  SELECT reach.id, e.doc_b FROM reach JOIN sym e ON e.doc_a = reach.r
+         |), labels AS (
+         |  SELECT id AS vec_id, MIN(r) AS group_id FROM reach GROUP BY id
+         |), keep AS (
+         |  SELECT group_id, vec_id AS keeper_id FROM (
+         |    SELECT l.group_id, l.vec_id,
+         |      ROW_NUMBER() OVER (PARTITION BY l.group_id
+         |        ORDER BY a.best_sim, l.vec_id) AS rn
+         |    FROM labels l JOIN a2 a ON a.vec_id = l.vec_id
+         |  ) WHERE rn = 1
+         |)
+         |SELECT l.vec_id, l.group_id, k.keeper_id,
+         |  l.vec_id = k.keeper_id AS is_keeper
+         |FROM labels l JOIN keep k USING (group_id)""".stripMargin
 }

@@ -435,4 +435,60 @@ class DedupSimilaritySpec extends SparkSpec {
     assert(expectRemoved > 0)
   }
 
+  test("q78 semantic dedup: groups = connected components of the " +
+      "in-bucket cosine graph; keeper = the group's (best_sim, id) argmin") {
+    val out = SimilarityOps.semanticDedup(spark, sf0001)
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[Long]("group_id"), r.getAs[Long]("keeper_id"),
+        r.getAs[Boolean]("is_keeper")))
+    assert(out.nonEmpty)
+    // independent reference: the q56 assignment gives buckets and
+    // centroid sims; units recomputed from the raw table
+    val assigned = SimilarityOps.annLloyd(spark, sf0001).cache()
+    val fold = "aggregate(zip_with(%s, %s, (x, y) -> " +
+      "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), CAST(0 AS DOUBLE), " +
+      "(acc, x) -> acc + x)"
+    val e = graft.Tables.embeddings(spark, sf0001)
+      .withColumn("nrm", sqrt(expr(fold.format("embedding", "embedding"))))
+      .withColumn("unit", expr("transform(embedding, x -> CAST(x AS DOUBLE) / nrm)"))
+      .join(assigned.select($"vec_id", $"bucket"), "vec_id")
+    val a = e.select($"vec_id".as("doc_a"), $"unit".as("ua"), $"bucket")
+    val b = e.select($"vec_id".as("doc_b"), $"unit".as("ub"), $"bucket")
+    val edges = a.join(b, Seq("bucket"))
+      .where($"doc_a" < $"doc_b" &&
+        expr("aggregate(zip_with(ua, ub, (x, y) -> x * y), " +
+          "CAST(0 AS DOUBLE), (acc, x) -> acc + x)") >=
+          SimilarityOps.SemDedupThreshold)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    // driver-side union-find over the (tiny) fixture edge set
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (x, y) =>
+      val (rx, ry) = (find(x), find(y))
+      if (rx != ry) parent(math.max(rx, ry)) = math.min(rx, ry)
+    }
+    val members = parent.keys.toSeq.groupBy(find)
+    val expectGroups = members.map { case (_, ms) => (ms.min, ms.toSet) }
+    val gotGroups = out.groupBy(_._2)
+      .map { case (g, ms) => (g, ms.map(_._1).toSet) }
+    assert(gotGroups == expectGroups.toMap)
+    // keeper rule on the reference sims; exactly one keeper per group
+    val sims = assigned.select($"vec_id", $"best_sim")
+      .as[(Long, Double)].collect().toMap
+    out.groupBy(_._2).foreach { case (g, ms) =>
+      val keeper = ms.map(_._1).minBy(id => (sims(id), id))
+      assert(ms.forall(_._3 == keeper), s"group $g keeper")
+      assert(ms.count(_._4) == 1 &&
+        ms.find(_._4).get._1 == keeper, s"group $g is_keeper")
+      assert(ms.size >= 2, s"group $g has no duplicate partner")
+    }
+    // non-vacuous: the diversity rule must actually bite somewhere —
+    // a keeper that differs from the min-id member (= group_id)
+    assert(out.exists(r => r._4 && r._1 != r._2))
+    assigned.unpersist()
+  }
+
 }

@@ -129,6 +129,28 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q78: semantic-dedup candidates come from an equi-join on the " +
+      "k-means bucket — never a nested-loop or cartesian pair scan") {
+    // the assignment frame shape semanticDedup feeds the edge builder;
+    // buckets faked per-row so the lock is on the JOIN STRUCTURE, not
+    // on Lloyd (whose broadcast-only assignment q51's lock covers)
+    import org.apache.spark.sql.functions._
+    val assigned = Tables.embeddings(spark, sf0001)
+      .withColumn("unit",
+        expr("transform(embedding, x -> CAST(x AS DOUBLE))"))
+      .withColumn("bucket", col("vec_id") % 8)
+      .select(col("vec_id"), col("unit"), col("bucket"))
+    val plan = formatted(SimilarityOps.semanticEdgesOf(assigned))
+    assert(plan.contains("SortMergeJoin") ||
+      plan.contains("ShuffledHashJoin") ||
+      plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the cosine gate stays a filter on the joined rows (codegen'd
+    // HOF fold), not a post-join aggregate
+    assert(plan.contains("aggregate("))
+  }
+
   test("q36: the registered pruned-counts query plans PartitionFilters " +
       "on month, reading 2 of the written partitions") {
     val q = graft.ops.LayoutOps.prunedMonthlyOrderCounts(spark, sf0001)
