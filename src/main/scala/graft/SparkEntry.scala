@@ -108,6 +108,8 @@ object SparkEntry {
         Some(TextOps.sequencePackSql)),
       ("q70_mixture_weights", TextOps.mixtureWeights _,
         Some(TextOps.mixtureWeightsSql)),
+      ("q79_mixture_sample", TextOps.mixtureSample _,
+        Some(TextOps.mixtureSampleSql)),
       ("q56_ann_lloyd",
         ((s, d) => SimilarityOps.annLloyd(s, d)): (SparkSession, String) => DataFrame,
         Some(SimilarityOps.annLloydSql)), // exact decimal centroid means

@@ -406,11 +406,11 @@ object LayoutOps {
     * CAST each term to BIGINT BEFORE the multiply: instr returns INT
     * and 16^7 scales past Int.MaxValue — ANSI mode (Spark 4 default)
     * throws ARITHMETIC_OVERFLOW on the int product. */
-  private def md5HexValSpark(c: String): String = (1 to 8).map(d =>
+  private[graft] def md5HexValSpark(c: String): String = (1 to 8).map(d =>
     s"(CAST(instr('0123456789abcdef', substring(md5(cast($c AS string)), $d, 1)) AS BIGINT) - 1) * ${math.pow(16, 8 - d).toLong}")
     .mkString(" + ")
 
-  private def md5HexValDuck(c: String): String = (1 to 8).map(d =>
+  private[graft] def md5HexValDuck(c: String): String = (1 to 8).map(d =>
     s"(strpos('0123456789abcdef', substr(md5(CAST($c AS VARCHAR)), $d, 1)) - 1) * ${math.pow(16, 8 - d).toLong}")
     .mkString(" + ")
 

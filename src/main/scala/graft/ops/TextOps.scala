@@ -890,6 +890,108 @@ object TextOps {
       |)
       |SELECT lang, n_docs, s / MAX(cum) OVER () AS weight FROM d""".stripMargin
 
+  /** Oversampling factor of q79: the emitted stream targets
+    * [[MixtureOversample]] × the corpus size, redistributed across
+    * languages by the q70 weights. */
+  val MixtureOversample = 3L
+
+  /** Per-document repetition cap of q79 — the standard guard against
+    * a vanishingly small language being upsampled without bound
+    * (epoch counts beyond a handful measurably degrade training;
+    * cf. the data-constrained scaling literature). Mirrored in the
+    * oracle; never binds on the test corpus (max epochs ≈ 3.9). */
+  val MaxEpochs = 16L
+
+  /** q79 — mixture SAMPLING, the stage that realizes q70's weights
+    * (q70 computes the target distribution; q79 materializes the
+    * training stream drawn from it — the loop-closing pattern of
+    * q69→q77). Each language's per-document epoch count is
+    * `e_l = w_l · (oversample · N) / n_l`: every doc repeats
+    * floor(e_l) times plus one more iff its md5-derived uniform
+    * (the q62/q73 hex-fold device, hv/2^32 ∈ [0,1)) falls below
+    * frac(e_l) — a DETERMINISTIC Bernoulli, so the realized per-lang
+    * total is within n_l of the target w_l·B and the sample is
+    * byte-reproducible across runs and engines. Copies are capped at
+    * [[MaxEpochs]].
+    *
+    * The registered result is the per-lang audit of the MATERIALIZED
+    * stream (the epoch-exploded frame a writer would shard): docs
+    * sampled ≥ once (epoch-0 rows — one per surviving doc by
+    * construction, the q74 device that avoids a distinct-agg
+    * Expand), emitted copies, and the exact per-lang epoch rate.
+    *
+    * Scale shape: one broadcast of the 5-row weight frame, hv +
+    * copies computed map-side on (doc_id, lang) — text never moves —
+    * the explode is a map-side Generate, and the rollup is one
+    * map-side-combinable (lang) aggregation. Single corpus-wide
+    * exchange; epochs double arithmetic is pinned left-to-right on
+    * both engines (the q70 weight chain extended by one multiply and
+    * one divide of identical operands). */
+  def mixtureSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val all = Window.partitionBy()
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val w = mixtureWeights(s, dir)
+      .withColumn("total", sum($"n_docs").over(all))
+      .withColumn("epochs",
+        ($"weight" * ($"total" * lit(MixtureOversample)).cast("double")) /
+          $"n_docs".cast("double"))
+      .select($"lang", $"epochs")
+    Tables.documents(s, dir).select($"doc_id", $"lang")
+      .join(broadcast(w), "lang")
+      .withColumn("hv",
+        expr(s"CAST(${LayoutOps.md5HexValSpark("doc_id")} AS BIGINT)"))
+      .withColumn("copies", least(
+        floor($"epochs") +
+          when($"hv".cast("double") / lit(4294967296.0) <
+            ($"epochs" - floor($"epochs")), 1L).otherwise(0L),
+        lit(MaxEpochs)))
+      .where($"copies" > 0)
+      .select($"lang", $"epochs",
+        explode(expr("sequence(CAST(0 AS BIGINT), copies - 1)")).as("epoch"))
+      .groupBy($"lang")
+      .agg(sum(when($"epoch" === 0L, 1L).otherwise(0L)).as("n_docs_sampled"),
+        count(lit(1)).as("n_emitted"),
+        min($"epochs").as("epochs"))
+  }
+
+  /** DuckDB twin of [[mixtureSample]]: the q70 weight CTEs extended
+    * by the epoch rate, the hex-fold Bernoulli, and an arithmetic
+    * rollup (SUM(copies) ≡ counting the exploded rows). */
+  val mixtureSampleSql: String =
+    s"""WITH c AS (
+       |  SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs
+       |  FROM documents GROUP BY 1
+       |), w0 AS (
+       |  SELECT lang, n_docs, sqrt(CAST(n_docs AS DOUBLE)) AS s FROM c
+       |), d AS (
+       |  SELECT lang, n_docs, s,
+       |    SUM(s) OVER (ORDER BY lang ROWS UNBOUNDED PRECEDING) AS cum
+       |  FROM w0
+       |), w AS (
+       |  SELECT lang, n_docs, s / MAX(cum) OVER () AS weight,
+       |    SUM(n_docs) OVER () AS total
+       |  FROM d
+       |), e AS (
+       |  SELECT lang,
+       |    (weight * CAST(total * $MixtureOversample AS DOUBLE))
+       |      / CAST(n_docs AS DOUBLE) AS epochs
+       |  FROM w
+       |), k AS (
+       |  SELECT d.lang, e.epochs,
+       |    LEAST(CAST(FLOOR(e.epochs) AS BIGINT) +
+       |      CASE WHEN CAST(${LayoutOps.md5HexValDuck("doc_id")} AS DOUBLE)
+       |          / 4294967296.0 < e.epochs - FLOOR(e.epochs)
+       |        THEN 1 ELSE 0 END, $MaxEpochs) AS copies
+       |  FROM documents d JOIN e USING (lang)
+       |)
+       |SELECT lang,
+       |  CAST(SUM(CASE WHEN copies > 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_docs_sampled,
+       |  CAST(SUM(copies) AS BIGINT) AS n_emitted,
+       |  MIN(epochs) AS epochs
+       |FROM k GROUP BY lang""".stripMargin
+
   def fingerprint(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)

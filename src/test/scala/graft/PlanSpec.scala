@@ -201,6 +201,30 @@ class PlanSpec extends SparkSpec {
       s"text crossed the shuffle:\n$exchangeDetail")
   }
 
+  test("q79: mixture sampling broadcasts the weight frame, explodes " +
+      "map-side, and no exchange carries text") {
+    val plan = formatted(TextOps.mixtureSample(spark, sf0001))
+    // the 5-row epoch-rate frame arrives via broadcast, never shuffle
+    assert(plan.contains("BroadcastExchange"))
+    // the epoch expansion is a map-side Generate on the joined rows
+    assert(plan.contains("Generate"))
+    // the epoch-0 doc count is a conditional sum, not a distinct agg
+    assert(!plan.contains("Expand"))
+    // exchange NODES (trailing-space = tree lines): the weight frame's
+    // lang rollup + its single-partition window hop + the final lang
+    // rollup — all carrying per-lang partials, never corpus rows; the
+    // BroadcastExchange tree line also matches the pattern
+    assert("Exchange ".r.findAllIn(plan).length <= 4,
+      s"unexpected exchange count:\n$plan")
+    // no exchange moves document text: every shuffle row is partials
+    val details = plan.split("""\n(?=\(\d+\) )""").filter(b =>
+      b.startsWith("(") && b.linesIterator.next().matches(
+        """\(\d+\) (Broadcast)?Exchange\s*"""))
+    assert(details.nonEmpty)
+    details.foreach(b => assert(!b.contains("text"),
+      s"text crossed an exchange:\n$b"))
+  }
+
   test("q74: the composed pipeline has ONE corpus-wide exchange and " +
       "Catalyst turns the dedup into a map-side WindowGroupLimit") {
     val plan = formatted(graft.ops.PipelineOps.trainingPipeline(spark, sf0001))

@@ -315,6 +315,50 @@ class TextOpsSpec extends SparkSpec {
     assert(byCount.last._3 < byCount.last._2 / total)
   }
 
+  test("mixture sample matches an independent closed-form recomputation " +
+      "exactly, and each lang's emitted total is within n_l of target") {
+    def md5hex(x: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(x.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val docs = Tables.documents(spark, sf0001)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val counts = docs.groupBy(_._2).map { case (l, d) => l -> d.length.toLong }
+    val langs = counts.keys.toSeq.sorted
+    var denom = 0.0
+    langs.foreach(l => denom += math.sqrt(counts(l).toDouble))
+    val total = docs.length.toLong
+    val epochs = langs.map { l =>
+      val w = math.sqrt(counts(l).toDouble) / denom
+      l -> (w * (total * TextOps.MixtureOversample).toDouble /
+        counts(l).toDouble)
+    }.toMap
+    def copies(id: Long, lang: String): Long = {
+      val hv = java.lang.Long.parseLong(md5hex(id.toString).take(8), 16)
+      val e = epochs(lang)
+      val extra =
+        if (hv.toDouble / 4294967296.0 < e - math.floor(e)) 1L else 0L
+      math.min(math.floor(e).toLong + extra, TextOps.MaxEpochs)
+    }
+    val expect = docs.groupBy(_._2).map { case (l, ds) =>
+      val cs = ds.map(d => copies(d._1, l))
+      (l, cs.count(_ > 0).toLong, cs.sum, epochs(l))
+    }.toSet
+    val got = TextOps.mixtureSample(spark, sf0001)
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(got == expect) // exact — epochs doubles included
+    // deterministic Bernoulli bound: each doc emits floor(e) or
+    // ceil(e) copies, so the lang total sits within n_l of w_l·B
+    got.foreach { case (l, _, emitted, e) =>
+      assert(math.abs(emitted - e * counts(l)) <= counts(l), s"lang $l")
+    }
+    // the fractional rule must bite: some lang emits strictly between
+    // n·floor(e) and n·ceil(e) — both branches of the Bernoulli taken
+    assert(got.exists { case (l, _, emitted, e) =>
+      val bern = emitted - counts(l) * math.floor(e).toLong
+      bern > 0 && bern < counts(l)
+    })
+  }
+
   test("chunk boundary lengths: docs in the dead zone (stride < n ≤ " +
       "stride + overlap) yield ONE chunk, one past it yields two") {
     // 30 tokens sits between stride 24 and stride+overlap 32: a chunk
