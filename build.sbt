@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench driver keeps only a bounded tail of stdout and parses the
+// LAST line as the bench artifact (BENCH_r08: parsed=null because the
+// forked program's output went through sbt's logger — "[info] " prefix
+// on the JSON line — and sbt's "[success] Total time" epilogue landed
+// after it). StdoutOutput passes the forked JVM's stdout through raw,
+// and showSuccess=false drops the epilogue, so graft.Bench's compact
+// JSON line is the literal final stdout line.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
