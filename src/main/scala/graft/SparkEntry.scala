@@ -121,6 +121,8 @@ object SparkEntry {
         Some(StreamOps.statefulUserEventCountsSql)),
       ("q69_stream_ingest_neardup", StreamOps.streamIngestNeardup _,
         Some(StreamOps.streamIngestNeardupSql)),
+      ("q80_stream_dedup", StreamOps.streamDedupKeys _,
+        Some(StreamOps.streamDedupKeysSql)),
       ("q36_pruned_counts", LayoutOps.prunedMonthlyOrderCounts _,
         Some(LayoutOps.prunedMonthlyOrderCountsSql)),
       ("q73_shard_manifest", LayoutOps.shardManifest _,

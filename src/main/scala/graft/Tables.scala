@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
 
 /** Loaders for the driver's deterministic parquet corpus (TESTDATA.md).
   *
@@ -25,17 +25,35 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = p(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = p(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = p(s, d, "lineitem")
-  /** events.ts is parquet TIMESTAMP(NANOS), which Spark 4 refuses by
-    * default. Read it as a nanos long (legacy conf) and floor-divide to
-    * micros — exactly what DuckDB's nanos→micros coercion does, keeping
-    * the oracle comparison bit-identical.
+  /** Normalize an events frame's `ts` column to session-zoned
+    * TIMESTAMP, whatever shape the writer encoded:
+    *   - nanos LONG (parquet TIMESTAMP(NANOS) read under the legacy
+    *     conf): floor-divide to micros — exactly DuckDB's nanos→micros
+    *     coercion, keeping the oracle comparison bit-identical;
+    *   - TIMESTAMP_NTZ (parquet timestamp[us] without the
+    *     adjusted-to-UTC flag): cast to TIMESTAMP. The session tz is
+    *     pinned UTC everywhere (Verify/Bench/specs), so the cast
+    *     attaches UTC — matching DuckDB's naive-UTC read of the same
+    *     file. Streaming event-time requires TIMESTAMP, so NTZ must
+    *     not leak past this point;
+    *   - TIMESTAMP: already the right type.
+    * ONE function shared by the batch reader and
+    * [[graft.streaming.StreamOps]]'s file-source stream, so a driver
+    * re-encode of the testdata breaks (at most) TablesSpec's
+    * three-shape fixture, not CORRECTNESS.
     */
+  private[graft] def normalizeTs(df: DataFrame): DataFrame =
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => df
+    }
+
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = p(s, d, "events")
-    if (df.schema("ts").dataType == LongType)
-      df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else df
+    normalizeTs(p(s, d, "events"))
   }
   def documents(s: SparkSession, d: String): DataFrame = p(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = p(s, d, "embeddings")

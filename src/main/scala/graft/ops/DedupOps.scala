@@ -417,9 +417,12 @@ object DedupOps {
     * Scale shape: the labels come from the write-once artifact
     * ([[graft.ops.LayoutOps.ensureClusterLabelLayout]]) — clustering
     * runs once per corpus snapshot (q48 measures it), consumers read
-    * the result. Cluster MEMBERSHIP is small next to the corpus
-    * (only docs with a ≥ 0.8-jaccard partner), so the corpus-side
-    * left join broadcasts the label frame and stays map-side; the
+    * the result. Cluster MEMBERSHIP is usually small next to the
+    * corpus (only docs with a ≥ 0.8-jaccard partner) — but that is a
+    * corpus property, not a guarantee, so the broadcast is GATED on a
+    * measured count ([[Hints.broadcastIfSmall]]; the artifact is
+    * parquet, so the count is a metadata read). Under the cap the
+    * left join stays map-side; over it, AQE picks the strategy. The
     * rollup is a map-side-combinable (lang) aggregation. */
   def neardupSurvivors(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
@@ -427,7 +430,7 @@ object DedupOps {
       .parquet(LayoutOps.ensureClusterLabelLayout(s, dir))
       .select($"doc_id", $"is_canonical")
     Tables.documents(s, dir).select($"doc_id", $"lang")
-      .join(broadcast(labels), Seq("doc_id"), "left")
+      .join(Hints.broadcastIfSmall(labels), Seq("doc_id"), "left")
       .withColumn("survives", coalesce($"is_canonical", lit(true)))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_docs"),
@@ -495,11 +498,14 @@ object DedupOps {
       .select($"doc_new", $"doc_corpus").distinct()
       .localCheckpoint(true)
     // corpus-side kernel work is CANDIDATE-proportional: only the
-    // matched corpus docs (left-semi against the tiny candidate id
-    // set) compute signatures — never the whole corpus
+    // matched corpus docs (left-semi against the candidate id set)
+    // compute signatures — never the whole corpus. The id set is
+    // checkpointed so the gated-broadcast count reads the
+    // materialization, not a re-run of the distinct.
+    val candCorpusIds = cand.select($"doc_corpus".as("doc_id"))
+      .distinct().localCheckpoint(true)
     val matchedCorpus = corpus.join(
-      broadcast(cand.select($"doc_corpus".as("doc_id")).distinct()),
-      Seq("doc_id"), "left_semi")
+      Hints.broadcastIfSmall(candCorpusIds), Seq("doc_id"), "left_semi")
     // exact-Jaccard verification of the candidate set only
     val verified = cand
       .join(freshSig.select($"doc_id".as("doc_new"),
@@ -516,16 +522,22 @@ object DedupOps {
       .select($"doc_new", $"doc_corpus")
     // corpus cluster canonicals (labels cover only clustered docs;
     // an unclustered match is its own canonical)
+    // label frame is checkpoint-backed (propagateMin's output), so
+    // the gated-broadcast count is a narrow cached scan; attached is
+    // checkpointed for the same reason (it would otherwise re-run the
+    // verification join once for the count and once for the use)
     val labels = clustersOf(corpus)
       .select($"doc_id".as("doc_corpus"), $"canonical_id")
     val attached = verified
-      .join(broadcast(labels), Seq("doc_corpus"), "left")
+      .join(Hints.broadcastIfSmall(labels), Seq("doc_corpus"), "left")
       .withColumn("canon", coalesce($"canonical_id", $"doc_corpus"))
       .groupBy($"doc_new")
       .agg(min($"canon").as("existing_canonical"))
+      .localCheckpoint(true)
     val out = fresh.select($"doc_id")
-      .join(broadcast(attached.select($"doc_new".as("doc_id"),
-        $"existing_canonical")), Seq("doc_id"), "left")
+      .join(Hints.broadcastIfSmall(
+        attached.select($"doc_new".as("doc_id"), $"existing_canonical")),
+        Seq("doc_id"), "left")
       .select($"doc_id",
         coalesce($"existing_canonical", $"doc_id").as("canonical_id"),
         $"existing_canonical".isNotNull.as("attached"))

@@ -83,14 +83,30 @@ object ExternalTool {
     * ids/partition ids through [[mixSeed]] first, and worker respawns
     * add their spawn count AFTER the mix so "next spawn → next proxy"
     * stays literal. */
+  /** Whether `setsid` (util-linux) is usable here. When it is, every
+    * tool is spawned as its OWN process-group leader so a timeout kill
+    * can signal the whole group atomically (see [[killTree]]); when it
+    * is not (non-Linux dev box), spawn falls back to a bare start and
+    * kill falls back to the snapshot sweep. Probed once per JVM. */
+  private lazy val setsidAvailable: Boolean =
+    try {
+      val p = new ProcessBuilder("setsid", "--version")
+        .redirectError(ProcessBuilder.Redirect.DISCARD)
+        .redirectOutput(ProcessBuilder.Redirect.DISCARD)
+        .start()
+      p.waitFor(2, TimeUnit.SECONDS) && p.exitValue() == 0
+    } catch { case _: Exception => false }
+
   private def spawn(conf: ToolConf, position: Long): Process = {
+    val command =
+      if (setsidAvailable) "setsid" +: conf.command else conf.command
     // stderr is DISCARDED, never merged into stdout: in worker mode a
     // single diagnostic line on stderr would be read as some record's
     // answer and desynchronize every later record/answer pairing — the
     // exact silent misattribution the newline-rejection invariant
     // guards against. Tools that need diagnostics keep them on stderr
     // (their own logs); the protocol owns stdout exclusively.
-    val pb = new ProcessBuilder(conf.command.asJava)
+    val pb = new ProcessBuilder(command.asJava)
       .redirectError(ProcessBuilder.Redirect.DISCARD)
     if (conf.proxies.nonEmpty) {
       val env = pb.environment()
@@ -108,15 +124,28 @@ object ExternalTool {
     * tool — the very process a timeout kill exists to stop — which
     * would keep burning CPU and hold the stdout pipe open. */
   private def killTree(p: Process): Unit = {
-    // Order matters twice over. SNAPSHOT the descendants BEFORE the
-    // parent dies: once it is killed and reaped its children reparent
-    // to init and p.descendants() goes empty — a post-kill-only sweep
-    // would orphan the very tool the timeout kill exists to stop.
-    // Kill the PARENT before the snapshot entries: a still-alive
-    // parent could fork a fresh child that escapes the snapshot; dead,
-    // it cannot fork, so snapshot + one re-check (for children forked
-    // between snapshot and parent death, visible until reaping) is
-    // complete. waitFor is bounded — an unkillable (e.g. D-state)
+    // Primary path: the tool was spawned under setsid, so it LEADS its
+    // own process group (pgid = pid) and `kill -9 -pgid` signals every
+    // member atomically — including a child forked at the very moment
+    // of the kill, which no snapshot-then-sweep can catch (the old
+    // snapshot+re-check left exactly that fork-during-kill orphan
+    // window: a child forked after the re-check but before the parent
+    // was reaped escaped both passes). The group id survives member
+    // reaping, so there is no read-then-act race to lose.
+    if (setsidAvailable) {
+      try {
+        val k = new ProcessBuilder("kill", "-9", s"-${p.pid()}")
+          .redirectError(ProcessBuilder.Redirect.DISCARD)
+          .start()
+        k.waitFor(2, TimeUnit.SECONDS)
+      } catch { case _: Exception => () }
+    }
+    // Fallback sweep (also harmless belt-and-braces after a group
+    // kill): snapshot BEFORE the parent dies — once killed and reaped
+    // its children reparent to init and p.descendants() goes empty —
+    // then kill the parent (dead, it cannot fork), then the snapshot
+    // and one re-check for children forked between snapshot and
+    // parent death. waitFor is bounded — an unkillable (e.g. D-state)
     // process must not hang the executor task thread.
     val snapshot = p.descendants().iterator().asScala.toList
     p.destroyForcibly()

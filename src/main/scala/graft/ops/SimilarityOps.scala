@@ -650,15 +650,19 @@ object SimilarityOps {
       .localCheckpoint(true) // propagateMin scans edges every round
     val labels = DedupOps.propagateMin(edges)
       .select($"id".as("vec_id"), $"label".as("group_id"))
-    // labels are edge-endpoint-sized (small); the corpus-sized side
-    // is assigned — broadcast the small side into both joins
+    // labels are edge-endpoint-sized — USUALLY small, but a
+    // high-duplication corpus can push membership to a corpus-scale
+    // fraction, so both small-side hints are gated on a measured
+    // count (labels is checkpoint-backed via propagateMin; keep is
+    // checkpointed below) rather than forced
     val scored = assigned.select($"vec_id", $"best_sim")
-      .join(broadcast(labels), Seq("vec_id"))
+      .join(Hints.broadcastIfSmall(labels), Seq("vec_id"))
     val keep = scored.groupBy($"group_id")
       .agg(min(struct($"best_sim", $"vec_id")).as("k"))
       .select($"group_id", $"k.vec_id".as("keeper_id"))
+      .localCheckpoint(true)
     val out = scored
-      .join(broadcast(keep), Seq("group_id"))
+      .join(Hints.broadcastIfSmall(keep), Seq("group_id"))
       .select($"vec_id", $"group_id", $"keeper_id",
         ($"vec_id" === $"keeper_id").as("is_keeper"))
       .localCheckpoint(true)

@@ -25,12 +25,6 @@ object StreamOps {
 
   private def dec2 = graft.Money.dec2 _
 
-  /** The events table as a file-source STREAM, with the same
-    * schema-aware event-time typing as the batch `Tables.events`: a
-    * nanos-long ts (the legacy-conf parquet shape) floor-divides to
-    * micros; a real timestamp column streams as-is. The batch path
-    * branches on the actual schema — the stream must too, or it
-    * breaks on files the batch queries process fine. */
   /** A table's parquet file as a file-source stream: batch-read for
     * the schema, then a glob-filtered readStream over the directory —
     * the one scaffold every streaming source here shares. */
@@ -43,13 +37,15 @@ object StreamOps {
       .parquet(dir)
   }
 
+  /** The events table as a file-source STREAM with the event-time
+    * column normalized by the SAME `Tables.normalizeTs` the batch
+    * reader uses — one shape-repair site for every ts encoding the
+    * driver has shipped (nanos-long, TIMESTAMP, TIMESTAMP_NTZ);
+    * streaming watermarks reject NTZ, so normalization is load-bearing
+    * here, not cosmetic. */
   private def eventsStream(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val stream = fileStream(s, dir, "events")
-    if (stream.schema("ts").dataType ==
-        org.apache.spark.sql.types.LongType)
-      stream.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else stream
+    graft.Tables.normalizeTs(fileStream(s, dir, "events"))
   }
 
   /** Drain a streaming frame synchronously into a memory sink and
@@ -286,6 +282,24 @@ object StreamOps {
     drainToTable(s, deduped, "graft_stream_dedup", "append")
       .select($"event_id", $"user_id", $"event_type", $"ts")
   }
+
+  /** q80 — [[streamDedup]] as a driver-checkable query. Streaming
+    * dropDuplicates emits exactly one row per key, but WHICH row is
+    * arrival-order-dependent (the micro-batch's partition order, not
+    * event time), so the row identity is not oracle-comparable — the
+    * KEY SET is: project the emitted rows to their dedup keys, which
+    * must equal the batch distinct no matter how the stream
+    * micro-batched. This completes the streaming family's oracle
+    * coverage (q34 windowed-agg state, q59 join state, q64 arbitrary
+    * state, q80 dedup state); the ts-carrying row shape stays under
+    * StreamingSpec, where arrival order is controlled. */
+  def streamDedupKeys(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    streamDedup(s, dir).select($"user_id", $"event_type")
+  }
+
+  val streamDedupKeysSql: String =
+    "SELECT DISTINCT user_id, event_type FROM events"
 
   /** q69 — streaming ingest near-dup gate (the continuous-ingestion
     * form of q21's MinHash+LSH): newly arriving documents — the

@@ -65,6 +65,39 @@ class ExternalToolSpec extends SparkSpec {
     assert(res(2).worker_pid != res(0).worker_pid)
   }
 
+  test("timeout kill reaches FORKED descendants: a worker that spawns " +
+      "a grandchild mid-record leaves no orphan behind") {
+    val pidfile = java.nio.file.Files
+      .createTempFile("graft_fork_pids", ".txt")
+    val ds = Seq((1L, "alpha"), (2L, s"SLEEP:$pidfile"), (3L, "beta"))
+      .toDS().coalesce(1).sortWithinPartitions("_1")
+    val res = ExternalTool
+      .pipe(ds, ToolConf(Seq("/bin/sh", s"$tools/forking_worker.sh"),
+        timeoutMs = 500L))
+      .collect().sortBy(_.id)
+    assert(res(1).timed_out && !res(1).ok)
+    assert(res(0).ok && res(2).ok)
+    // the worker recorded its grandchild's pid before stalling; after
+    // the timeout kill that grandchild (a backgrounded sleep 300, NOT
+    // a direct child of the killed shell's wait) must be gone too
+    val pids = scala.jdk.CollectionConverters.ListHasAsScala(
+      java.nio.file.Files.readAllLines(pidfile)).asScala
+      .map(_.trim).filter(_.nonEmpty)
+    assert(pids.nonEmpty, "fixture never forked — test is vacuous")
+    def alive(pid: Long): Boolean =
+      ProcessHandle.of(pid).map[Boolean](h => h.isAlive).orElse(false)
+    pids.foreach { pid =>
+      // bounded grace for the signal to land, then hard-assert dead
+      var waited = 0
+      while (alive(pid.toLong) && waited < 2000) {
+        Thread.sleep(100); waited += 100
+      }
+      assert(!alive(pid.toLong),
+        s"grandchild $pid survived the timeout kill")
+    }
+    java.nio.file.Files.deleteIfExists(pidfile)
+  }
+
   test("per-record mode: one process per record, timeout quarantines " +
       "only the slow one") {
     val ds = Seq((1L, "abc"), (2L, "SLEEP please"), (3L, "xyz")).toDS()

@@ -103,7 +103,10 @@ class LayoutSpec extends SparkSpec {
 
   test("bucketed join avoids shuffle exchanges on both sides") {
     // bucketing disables broadcast here so the bucket metadata is what
-    // kills the exchanges, not a broadcast fallback
+    // kills the exchanges, not a broadcast fallback; the PRIOR value
+    // is captured so the restore never clobbers a session override
+    val priorThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val q = graft.ops.LayoutOps.bucketedJoin(spark, sf0001, 4)
@@ -118,7 +121,8 @@ class LayoutSpec extends SparkSpec {
       val total = q.agg(org.apache.spark.sql.functions.sum($"n")).head().getLong(0)
       assert(total == Tables.lineitem(spark, sf0001).count())
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        priorThreshold)
       spark.sql("DROP TABLE IF EXISTS graft_li_bucketed")
       spark.sql("DROP TABLE IF EXISTS graft_o_bucketed")
     }
@@ -148,7 +152,10 @@ class LayoutSpec extends SparkSpec {
     LayoutOps.ensureBandIndexLayout(spark, sf0001)
     assert(newestDataMtime > before)
     // broadcast disabled so bucket metadata — not a broadcast
-    // fallback — is what kills the index-side exchange
+    // fallback — is what kills the index-side exchange; restore the
+    // CAPTURED prior value, never a hard-coded default
+    val priorThreshold =
+      spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val arriving = graft.ops.DedupOps.bandFrame(
@@ -177,7 +184,8 @@ class LayoutSpec extends SparkSpec {
         .as[(Long, Long)].collect().toSet
       assert(got == expect && got.nonEmpty)
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold",
+        priorThreshold)
     }
   }
 
