@@ -133,6 +133,16 @@ object SparkEntry {
         Some(PipelineOps.trainingPipelineSql)),
       ("q53_bucketed_join", LayoutOps.bucketedOrderPriority _,
         Some(LayoutOps.bucketedOrderPrioritySql)),
+      ("q81_postings", CorpusOps.postings _, Some(CorpusOps.postingsSql)),
+      ("q82_term_lift", CorpusOps.termLift _, Some(CorpusOps.termLiftSql)),
+      ("q83_funnel_stages", StatsOps.funnelStages _,
+        Some(StatsOps.funnelStagesSql)),
+      ("q84_dup_graph_degree", DedupOps.dupGraphDegree _,
+        Some(DedupOps.dupGraphDegreeSql)),
+      ("q85_char_diversity", CorpusOps.charDiversity _,
+        Some(CorpusOps.charDiversitySql)),
+      ("q86_dup_ngram_rate", CorpusOps.dupNgramRate _,
+        Some(CorpusOps.dupNgramRateSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

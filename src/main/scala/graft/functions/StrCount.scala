@@ -106,6 +106,8 @@ object Functions {
         TopKNeighbors(e(0), e(1)).toAggregateExpression())),
     ("bigram_set", classOf[BigramSet],
       arity("bigram_set", 1)(e => BigramSet(e(0)))),
+    ("alnum_sq_stats", classOf[AlnumSqStats],
+      arity("alnum_sq_stats", 1)(e => AlnumSqStats(e(0)))),
     ("legacy_attachments", classOf[graft.crz.LegacyAttachments],
       arity("legacy_attachments", 1)(e =>
         graft.crz.LegacyAttachments(e(0)))))

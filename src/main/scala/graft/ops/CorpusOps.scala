@@ -1,0 +1,320 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Functions
+
+/** Corpus-index analytics over the `documents` table — the
+  * index-construction and cross-document-statistics family a
+  * training-data pipeline runs beside the dedup/quality stages:
+  * inverted-index postings (q81), term co-occurrence lift (q82),
+  * character-diversity quality scoring (q85, native kernel), and
+  * MassiveText-style cross-document n-gram duplication rate (q86).
+  *
+  * House rules (same as [[TextOps]]): tokenization is
+  * `filter(split(lower(text), '[^a-z]+'), w -> w <> '')` in both
+  * engines; every cross-engine float is a SINGLE IEEE division (or one
+  * division + one subtraction) of identical exact-integer operands, so
+  * the driver's string-repr hash compare cannot drift on summation
+  * order or `ln` implementations.
+  */
+object CorpusOps {
+
+  /** Posting-list preview length (doc_ids kept per word). The preview
+    * — not the full posting list — is what bounds the operator at
+    * corpus scale: a stop-word's full posting list is O(corpus) and
+    * would both blow the row size cap and serialize the whole corpus
+    * through one reducer key. Consumers needing full lists read the
+    * (word, doc_id) long-form frame instead; this query is the
+    * dictionary artifact (df + head sample) a search/index stage
+    * actually ships. */
+  val PostingPreviewK = 16
+
+  /** q81 — inverted-index postings: per word, document frequency and
+    * the first [[PostingPreviewK]] doc_ids (ascending). Hapax words
+    * (df = 1) are dropped — at web scale they are typically typos and
+    * dominate the vocabulary (Zipf tail) while contributing nothing to
+    * retrieval.
+    *
+    * Scale shape: `array_distinct` runs per document BEFORE the
+    * explode, so the exchange carries one (word, doc_id) row per
+    * distinct pair, not per occurrence. The `row_number` window and
+    * the `groupBy(word)` hash-partition on the SAME key, so Catalyst
+    * plans ONE exchange for both; `collect_list` materializes at most
+    * K ids per word (the `when` nulls out the rest and collect_list
+    * skips nulls), so no reducer ever holds a corpus-sized posting
+    * array. */
+  def postings(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val wd = Tables.documents(s, dir)
+      .select($"doc_id",
+        explode(array_distinct(
+          filter(split(lower($"text"), "[^a-z]+"), w => w =!= "")))
+          .as("word"))
+    val byWord = Window.partitionBy($"word").orderBy($"doc_id")
+    wd.withColumn("rn", row_number().over(byWord))
+      .groupBy($"word")
+      .agg(count(lit(1)).as("df"),
+        concat_ws(",",
+          transform(
+            sort_array(collect_list(
+              when($"rn" <= PostingPreviewK, $"doc_id"))),
+            _.cast("string"))).as("postings"))
+      .where($"df" >= 2)
+  }
+
+  val postingsSql: String =
+    s"""WITH wd AS (
+       |  SELECT DISTINCT doc_id, x AS word
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS x
+       |        FROM documents)
+       |  WHERE x <> ''
+       |), rn AS (
+       |  SELECT doc_id, word,
+       |    row_number() OVER (PARTITION BY word ORDER BY doc_id) AS rn
+       |  FROM wd
+       |)
+       |SELECT word, CAST(count(*) AS BIGINT) AS df,
+       |  string_agg(CASE WHEN rn <= $PostingPreviewK
+       |               THEN CAST(doc_id AS VARCHAR) END,
+       |             ',' ORDER BY doc_id) AS postings
+       |FROM rn GROUP BY word HAVING count(*) >= 2""".stripMargin
+
+  /** Vocabulary gate for q82: words must appear in ≥ [[LiftDfMin]]
+    * docs and ≤ [[LiftDfMaxPct]]% of the corpus. The ceiling is
+    * FRACTIONAL (not absolute) so the gate means the same thing at
+    * every corpus size: near-universal words carry no association
+    * signal (lift ≈ 1 by construction) but dominate the pair count. */
+  val LiftDfMin = 2
+  val LiftDfMaxPct = 95
+
+  /** Per-document vocabulary cap for pair generation — THE scale
+    * bound: pairs per doc ≤ C(cap, 2) regardless of document length,
+    * so the pair exchange is O(docs · cap²), never O(docs · vocab²).
+    * Deterministic keep rule: top by tf, word as tiebreak. */
+  val LiftWordsPerDoc = 20
+
+  /** Minimum co-occurrence support and per-word output cap. */
+  val LiftPairMin = 3
+  val LiftTopK = 5
+
+  /** q82 — term co-occurrence lift: for each surviving word pair
+    * (w1 < w2), `lift = P(w1,w2) / (P(w1)·P(w2)) =
+    * n_ab·N / (n_a·n_b)`, top [[LiftTopK]] partners per w1. Lift is a
+    * strictly monotone transform of PMI (PMI = log lift), so the
+    * ranking is the PMI ranking WITHOUT trusting two engines' `ln` to
+    * agree bit-for-bit — same reason q63 ranks by tf/df instead of
+    * tf·log(N/df). The one float is a single division whose operands
+    * (`n_ab·N`, `n_a·n_b`) are exact BIGINTs in both engines.
+    *
+    * Scale shape: the df gate and per-doc cap (above) bound the pair
+    * space; pair counting is a map-side-combinable aggregate on the
+    * (w1, w2) key; n_a/n_b joins are against the vocabulary-sized
+    * capped-df frame; the final per-w1 top-k window plans as
+    * WindowGroupLimit (partial rank below the exchange). */
+  def termLift(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val docs = Tables.documents(s, dir)
+    val nDocs = docs.select(count(lit(1)).as("n_docs"))
+    val tf = docs
+      .select($"doc_id",
+        explode(filter(split(lower($"text"), "[^a-z]+"), w => w =!= ""))
+          .as("word"))
+      .groupBy($"doc_id", $"word").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy($"word").agg(count(lit(1)).as("df"))
+    val byDoc = Window.partitionBy($"doc_id").orderBy($"tf".desc, $"word")
+    val capped = tf.join(df, "word")
+      .crossJoin(broadcast(nDocs))
+      .where($"df" >= LiftDfMin &&
+        $"df" * 100 <= lit(LiftDfMaxPct.toLong) * $"n_docs")
+      .withColumn("rn", row_number().over(byDoc))
+      .where($"rn" <= LiftWordsPerDoc)
+      .select($"doc_id", $"word")
+    val nw = capped.groupBy($"word").agg(count(lit(1)).as("n"))
+    val pairs = capped.as("a")
+      .join(capped.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.word") < col("b.word"))
+      .groupBy(col("a.word").as("w1"), col("b.word").as("w2"))
+      .agg(count(lit(1)).as("n_ab"))
+      .where($"n_ab" >= LiftPairMin)
+    val byW1 = Window.partitionBy($"w1").orderBy($"lift".desc, $"w2")
+    pairs
+      .join(nw.select($"word".as("w1"), $"n".as("na")), "w1")
+      .join(nw.select($"word".as("w2"), $"n".as("nb")), "w2")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("lift",
+        ($"n_ab" * $"n_docs").cast("double") / ($"na" * $"nb").cast("double"))
+      .withColumn("rn", row_number().over(byW1).cast("long"))
+      .where($"rn" <= LiftTopK)
+      .select($"w1", $"w2", $"n_ab", $"lift", $"rn")
+  }
+
+  val termLiftSql: String =
+    s"""WITH tf AS (
+       |  SELECT doc_id, x AS word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS x
+       |        FROM documents)
+       |  WHERE x <> '' GROUP BY 1, 2
+       |), total AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM documents),
+       |df AS (SELECT word, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+       |capped AS (
+       |  SELECT doc_id, word FROM (
+       |    SELECT tf.doc_id, tf.word,
+       |      row_number() OVER (PARTITION BY tf.doc_id
+       |        ORDER BY tf.tf DESC, tf.word) AS rn
+       |    FROM tf JOIN df USING (word) CROSS JOIN total t
+       |    WHERE df >= $LiftDfMin AND df * 100 <= $LiftDfMaxPct * t.n_docs)
+       |  WHERE rn <= $LiftWordsPerDoc
+       |), nw AS (SELECT word, CAST(count(*) AS BIGINT) AS n FROM capped GROUP BY 1),
+       |pairs AS (
+       |  SELECT a.word AS w1, b.word AS w2, CAST(count(*) AS BIGINT) AS n_ab
+       |  FROM capped a JOIN capped b
+       |    ON a.doc_id = b.doc_id AND a.word < b.word
+       |  GROUP BY 1, 2 HAVING count(*) >= $LiftPairMin
+       |)
+       |SELECT w1, w2, n_ab, lift, rn FROM (
+       |  SELECT p.w1, p.w2, p.n_ab,
+       |    CAST(p.n_ab * t.n_docs AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE)
+       |      AS lift,
+       |    row_number() OVER (PARTITION BY p.w1 ORDER BY
+       |      CAST(p.n_ab * t.n_docs AS DOUBLE) / CAST(na.n * nb.n AS DOUBLE)
+       |        DESC, p.w2) AS rn
+       |  FROM pairs p JOIN nw na ON na.word = p.w1
+       |  JOIN nw nb ON nb.word = p.w2
+       |  CROSS JOIN total t)
+       |WHERE rn <= $LiftTopK""".stripMargin
+
+  /** q85 — character-diversity quality signal: Simpson diversity
+    * `1 − Σcᵢ²/n²` over each document's ASCII-alphanumeric character
+    * histogram (case-folded). Low diversity flags degenerate docs —
+    * repeated-character runs, numeric dumps, single-token spam — the
+    * cheap first-line quality filter before the shingle-level q57/q58
+    * stages. Both histogram moments come from the native one-pass
+    * [[graft.functions.AlnumSqStats]] kernel; the oracle twin counts
+    * the same 36 characters via 36 `length(replace(...))` terms.
+    * Everything up to the final `1.0 − sq/n²` is exact-integer.
+    *
+    * Scale shape: ZERO shuffle — one generated-code pass per document
+    * inside the scan's codegen span (the explode-chars alternative
+    * multiplies rows by document length and pays a corpus-wide
+    * exchange). Docs with no alphanumerics score NULL rather than
+    * being filtered: a `WHERE n_alnum > 0` predicate on the derived
+    * column gets pushed below the projection and DUPLICATES the
+    * kernel into the filter (verified on the executed plan) — the
+    * CASE keeps the kernel evaluated exactly once per row. */
+  def charDiversity(s: SparkSession, dir: String): DataFrame =
+    charDiversityOf(Tables.documents(s, dir))
+
+  /** [[charDiversity]] over an arbitrary (doc_id, text) frame —
+    * frame-level core for spec-side synthetic corpora. */
+  private[graft] def charDiversityOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    Functions.register(s)
+    import s.implicits._
+    docs
+      .select($"doc_id", call_function("alnum_sq_stats", $"text").as("st"))
+      .select($"doc_id",
+        $"st".getItem(0).as("n_alnum"), $"st".getItem(1).as("sq_sum"))
+      .withColumn("diversity",
+        when($"n_alnum" > 0L,
+          lit(1.0) -
+            $"sq_sum".cast("double") /
+            ($"n_alnum" * $"n_alnum").cast("double")))
+  }
+
+  val charDiversitySql: String = {
+    val counts = (('a' to 'z') ++ ('0' to '9')).map(c =>
+      s"(length(s)-length(replace(s,'$c',''))) * (length(s)-length(replace(s,'$c','')))")
+      .mkString(" + ")
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |  FROM documents
+       |), m AS (
+       |  SELECT doc_id, CAST(length(s) AS BIGINT) AS n_alnum,
+       |    CAST($counts AS BIGINT) AS sq_sum
+       |  FROM d
+       |)
+       |SELECT doc_id, n_alnum, sq_sum,
+       |  CASE WHEN n_alnum > 0 THEN
+       |    1.0 - CAST(sq_sum AS DOUBLE) / CAST(n_alnum * n_alnum AS DOUBLE)
+       |  END AS diversity
+       |FROM m""".stripMargin
+  }
+
+  /** Word n-gram width for the cross-document duplication rate. */
+  val DupNgramN = 5
+
+  /** q86 — cross-document n-gram duplication rate (the MassiveText /
+    * RefinedWeb "exact substring duplication" diagnostic): per
+    * document, the fraction of its word 5-gram INSTANCES whose gram
+    * also occurs in at least one other document. Distinct from q58
+    * (repetition WITHIN a doc) and q23 (pairwise Jaccard): this is the
+    * corpus-level signal that drives doc removal/trimming thresholds
+    * (e.g. "drop if > 30% of 5-grams are duplicated").
+    *
+    * Scale shape: two exchanges — (doc, gram) instance counting
+    * (map-side combinable) and gram document-frequency (vocabulary of
+    * distinct grams, map-side combinable); the join back to (doc,
+    * gram) re-uses the gram hash partitioning. Per-doc rollup carries
+    * two exact BIGINT sums; the rate is the single terminal division.
+    * At 100 TB the gram key would be `xxhash64(gram)` (8 bytes vs ~30
+    * through both exchanges) — kept as the raw string here because the
+    * oracle twin must hash identically, and DuckDB has no xxhash64. */
+  def dupNgramRate(s: SparkSession, dir: String): DataFrame =
+    dupNgramRateOf(Tables.documents(s, dir))
+
+  /** [[dupNgramRate]] over an arbitrary (doc_id, text) frame —
+    * frame-level core for spec-side synthetic corpora. */
+  private[graft] def dupNgramRateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z]+"), w => w =!= "").as("toks"))
+      .where(size($"toks") >= DupNgramN)
+    val grams = toks.select($"doc_id",
+      explode(transform(
+        sequence(lit(0), size($"toks") - DupNgramN),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(DupNgramN)))))
+        .as("gram"))
+    val dg = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("n"))
+    val gdf = dg.groupBy($"gram").agg(count(lit(1)).as("nd"))
+    dg.join(gdf, "gram")
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_grams"),
+        sum(when($"nd" >= 2, $"n").otherwise(0L)).as("n_dup"))
+      .withColumn("dup_rate",
+        $"n_dup".cast("double") / $"n_grams".cast("double"))
+  }
+
+  val dupNgramRateSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[(i+1):(i+$DupNgramN)], ' ') AS gram
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(len(toks) - ${DupNgramN - 1})) AS i
+       |        FROM d WHERE len(toks) >= $DupNgramN)
+       |), dg AS (
+       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1, 2
+       |), gdf AS (
+       |  SELECT gram, CAST(count(*) AS BIGINT) AS nd FROM dg GROUP BY 1
+       |)
+       |SELECT dg.doc_id,
+       |  CAST(sum(n) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS BIGINT) AS n_dup,
+       |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE) AS dup_rate
+       |FROM dg JOIN gdf USING (gram) GROUP BY 1""".stripMargin
+}

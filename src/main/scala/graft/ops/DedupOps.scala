@@ -381,6 +381,58 @@ object DedupOps {
     labels
   }
 
+  /** q84 — near-dup graph degree histogram: for every document, its
+    * number of verified near-dup partners (edges with jaccard ≥
+    * [[JaccardThreshold]] — the SAME edge set q48 clusters), rolled up
+    * to degree → n_docs. This is the dedup-health diagnostic run
+    * before committing to a removal pass: a heavy high-degree tail
+    * means template/boilerplate explosion (clusters that will chain
+    * into giant components), a near-all-zero histogram means the
+    * corpus is already clean and the clustering pass can be skipped.
+    *
+    * Scale shape: rides the capped band pipeline (q21's bounded
+    * candidate generator — no all-pairs anywhere); the symmetric
+    * degree count is a map-side-combinable aggregate on doc_id; the
+    * zero-degree docs come from a LEFT join of the corpus ids against
+    * the degree frame (never a collect); the histogram output is at
+    * most max-degree rows. Edges are cached because the symmetric
+    * union scans them twice — and the signature cache is freed first,
+    * as in q48. */
+  def dupGraphDegree(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (pairs, sig) = minhashPairs(s, dir)
+    val edges = pairs
+      .where($"jaccard" >= JaccardThreshold)
+      .select($"doc_a", $"doc_b")
+      .cache()
+    edges.count()
+    sig.unpersist()
+    val deg = edges.select($"doc_a".as("doc_id"))
+      .union(edges.select($"doc_b".as("doc_id")))
+      .groupBy($"doc_id").agg(count(lit(1)).as("degree"))
+    Tables.documents(s, dir).select($"doc_id")
+      .join(deg, Seq("doc_id"), "left")
+      .select(coalesce($"degree", lit(0L)).as("degree"))
+      .groupBy($"degree").agg(count(lit(1)).as("n_docs"))
+  }
+
+  val dupGraphDegreeSql: String =
+    minhashCtes +
+      s""",
+        |edges AS (
+        |  SELECT doc_a, doc_b FROM pairs WHERE jaccard >= $JaccardThreshold
+        |),
+        |deg AS (
+        |  SELECT doc_id, CAST(count(*) AS BIGINT) AS degree FROM (
+        |    SELECT doc_a AS doc_id FROM edges
+        |    UNION ALL
+        |    SELECT doc_b FROM edges) GROUP BY 1
+        |)
+        |SELECT CAST(coalesce(deg.degree, 0) AS BIGINT) AS degree,
+        |       CAST(count(*) AS BIGINT) AS n_docs
+        |FROM documents d LEFT JOIN deg ON deg.doc_id = d.doc_id
+        |GROUP BY 1""".stripMargin
+
   /** The q48 cluster computation as a reusable CTE chain (transitive
     * closure over the ≥ 0.8-jaccard edge set) — shared by the q48
     * final SELECT and the q75 survivor rollup so the clustering the

@@ -210,4 +210,81 @@ object StatsOps {
       |  quantile_cont(o_totalprice, 0.95) AS p95
       |FROM orders GROUP BY o_orderstatus""".stripMargin
 
+  /** q83 — ordered funnel: how far each user progresses through
+    * view → click → purchase, where each stage must happen STRICTLY
+    * after the previous stage's first occurrence (a click before the
+    * first view does not count). Output is the 4-row stage → n_users
+    * conversion table.
+    *
+    * Scale shape: ONE exchange (groupBy user_id), then a sorted
+    * per-user event fold — the `aggregate` higher-order function walks
+    * the (ts, event_id)-sorted list once carrying the
+    * (first_view, first_click_after, first_purchase_after) state, so
+    * the whole funnel is a single pass per user with no further
+    * shuffle. The equivalent min-per-stage formulation (the oracle
+    * twin) needs a join + re-aggregation PER STAGE — 3 extra exchanges
+    * that grow linearly with funnel depth; the fold costs the same for
+    * any depth. Per-user event lists are bounded by per-user activity,
+    * not corpus size — the standard sessionization memory contract
+    * (same as q38's window).
+    *
+    * Fold-vs-min equivalence: the fold takes the FIRST qualifying
+    * event in (ts, event_id) order, whose ts is exactly
+    * `min(ts | type ∧ after-prev-stage)` — the oracle's value. */
+  def funnelStages(s: SparkSession, dir: String): DataFrame =
+    funnelStagesOf(Tables.events(s, dir))
+
+  /** [[funnelStages]] over an arbitrary events frame (frame-level core
+    * for spec-side synthetic corpora). */
+  private[graft] def funnelStagesOf(events: DataFrame): DataFrame = {
+    val s = events.sparkSession
+    import s.implicits._
+    events
+      .groupBy($"user_id")
+      .agg(sort_array(collect_list(
+        struct($"ts", $"event_id", $"event_type"))).as("evs"))
+      .withColumn("f", expr(
+        """aggregate(evs,
+          |  struct(CAST(NULL AS TIMESTAMP) AS vt,
+          |         CAST(NULL AS TIMESTAMP) AS ct,
+          |         CAST(NULL AS TIMESTAMP) AS pt),
+          |  (a, e) -> struct(
+          |    CASE WHEN a.vt IS NULL AND e.event_type = 'view'
+          |         THEN e.ts ELSE a.vt END AS vt,
+          |    CASE WHEN a.ct IS NULL AND a.vt IS NOT NULL
+          |              AND e.event_type = 'click' AND e.ts > a.vt
+          |         THEN e.ts ELSE a.ct END AS ct,
+          |    CASE WHEN a.pt IS NULL AND a.ct IS NOT NULL
+          |              AND e.event_type = 'purchase' AND e.ts > a.ct
+          |         THEN e.ts ELSE a.pt END AS pt))""".stripMargin))
+      .select(
+        when($"f.pt".isNotNull, "purchase")
+          .when($"f.ct".isNotNull, "click")
+          .when($"f.vt".isNotNull, "view")
+          .otherwise("none").as("stage"))
+      .groupBy($"stage").agg(count(lit(1)).as("n_users"))
+  }
+
+  val funnelStagesSql: String =
+    """WITH v AS (
+      |  SELECT user_id, min(ts) AS vt FROM events
+      |  WHERE event_type = 'view' GROUP BY 1
+      |), c AS (
+      |  SELECT e.user_id, min(e.ts) AS ct
+      |  FROM events e JOIN v ON v.user_id = e.user_id
+      |  WHERE e.event_type = 'click' AND e.ts > v.vt GROUP BY 1
+      |), p AS (
+      |  SELECT e.user_id, min(e.ts) AS pt
+      |  FROM events e JOIN c ON c.user_id = e.user_id
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.ct GROUP BY 1
+      |), u AS (SELECT DISTINCT user_id FROM events)
+      |SELECT CASE WHEN pt IS NOT NULL THEN 'purchase'
+      |            WHEN ct IS NOT NULL THEN 'click'
+      |            WHEN vt IS NOT NULL THEN 'view'
+      |            ELSE 'none' END AS stage,
+      |       CAST(count(*) AS BIGINT) AS n_users
+      |FROM u LEFT JOIN v USING (user_id) LEFT JOIN c USING (user_id)
+      |       LEFT JOIN p USING (user_id)
+      |GROUP BY 1""".stripMargin
+
 }

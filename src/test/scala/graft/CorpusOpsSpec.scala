@@ -1,0 +1,232 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.functions.CharStatsKernels
+import graft.ops.{CorpusOps, DedupOps, StatsOps}
+
+/** Round-12 corpus-index family: postings (q81), term lift (q82),
+  * funnel (q83), dup-graph degree (q84), char diversity (q85), dup
+  * n-gram rate (q86). */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---------------------------------------------------------------- q81
+
+  test("q81 postings: df >= 2, previews sorted ascending and capped at K") {
+    val p = CorpusOps.postings(spark, sf0001).cache()
+    assert(p.where($"df" < 2).count() == 0)
+    val rows = p.select($"df", $"postings").as[(Long, String)].collect()
+    assert(rows.nonEmpty)
+    rows.foreach { case (df, postings) =>
+      val ids = postings.split(",").map(_.toLong).toSeq
+      assert(ids == ids.sorted, s"unsorted preview: $postings")
+      assert(ids.size == math.min(df, CorpusOps.PostingPreviewK.toLong),
+        s"preview size ${ids.size} for df=$df")
+    }
+    p.unpersist()
+  }
+
+  test("q81 postings: the preview is exactly the K SMALLEST doc_ids " +
+      "of the word's full posting set") {
+    val word = CorpusOps.postings(spark, sf0001)
+      .where($"df" > CorpusOps.PostingPreviewK)
+      .orderBy($"word").select($"word", $"postings")
+      .as[(String, String)].head()
+    val expected = Tables.documents(spark, sf0001)
+      .select($"doc_id",
+        explode(array_distinct(
+          filter(split(lower($"text"), "[^a-z]+"), w => w =!= "")))
+          .as("w"))
+      .where($"w" === word._1)
+      .select($"doc_id").as[Long].collect().sorted
+      .take(CorpusOps.PostingPreviewK)
+    assert(word._2.split(",").map(_.toLong).toSeq == expected.toSeq)
+  }
+
+  // ---------------------------------------------------------------- q82
+
+  test("q82 term lift: pair ordering, support floor, per-word top-k cap") {
+    val l = CorpusOps.termLift(spark, sf0001).cache()
+    assert(l.count() > 0)
+    assert(l.where($"w1" >= $"w2").count() == 0, "pairs must be w1 < w2")
+    assert(l.where($"n_ab" < CorpusOps.LiftPairMin).count() == 0)
+    assert(l.where($"lift" <= 0.0).count() == 0)
+    val perW1 = l.groupBy($"w1").agg(count(lit(1)).as("n"))
+      .where($"n" > CorpusOps.LiftTopK).count()
+    assert(perW1 == 0, s"some w1 exceeds top-${CorpusOps.LiftTopK}")
+    // rn is a 1..k prefix per w1 (rank regression guard)
+    val bad = l.groupBy($"w1")
+      .agg(sort_array(collect_list($"rn")).as("rns"), count(lit(1)).as("n"))
+      .where(expr("rns <> sequence(1L, n)")).count()
+    assert(bad == 0)
+    l.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q83
+
+  test("q83 funnel: stages require strict temporal order over the " +
+      "previous stage's FIRST occurrence") {
+    def ts(sec: Int) = new Timestamp(sec * 1000L)
+    val events = Seq(
+      // u1: full ordered funnel
+      (1L, ts(1), 10L, "view"), (1L, ts(2), 11L, "click"),
+      (1L, ts(3), 12L, "purchase"),
+      // u2: click only BEFORE first view -> stops at view
+      (2L, ts(1), 20L, "click"), (2L, ts(2), 21L, "view"),
+      // u3: purchase without any click -> stops at view
+      (3L, ts(1), 30L, "view"), (3L, ts(2), 31L, "purchase"),
+      // u4: no view at all -> none
+      (4L, ts(1), 40L, "click"), (4L, ts(2), 41L, "purchase"),
+      // u5: click at the SAME ts as first view does not count (strict >)
+      (5L, ts(1), 50L, "view"), (5L, ts(1), 51L, "click"),
+      // u6: purchase strictly after a click that is strictly after view
+      (6L, ts(1), 60L, "view"), (6L, ts(2), 61L, "click"),
+      (6L, ts(2), 62L, "purchase"), // same ts as click -> not counted
+      (6L, ts(3), 63L, "purchase")  // this one counts
+    ).toDF("user_id", "ts", "event_id", "event_type")
+    val got = StatsOps.funnelStagesOf(events)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map(
+      "purchase" -> 2L, // u1, u6
+      "view" -> 3L,     // u2, u3, u5
+      "none" -> 1L))    // u4
+  }
+
+  test("q83 funnel on sf data: stage counts partition the user base") {
+    val f = StatsOps.funnelStages(spark, sf0001)
+      .as[(String, Long)].collect().toMap
+    val users = Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(f.values.sum == users)
+    assert(f.keySet.subsetOf(Set("view", "click", "purchase", "none")))
+  }
+
+  // ---------------------------------------------------------------- q84
+
+  test("q84 degree histogram: mass balances the corpus and the edge set") {
+    val h = DedupOps.dupGraphDegree(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    val counts = h.as[(Long, Long)].collect()
+    assert(counts.map(_._2).sum == nDocs,
+      "every doc appears in exactly one degree bucket")
+    // sum of degrees = 2 * |edges| -> even
+    val degreeMass = counts.map { case (d, n) => d * n }.sum
+    assert(degreeMass % 2 == 0, s"odd total degree $degreeMass")
+    assert(counts.exists { case (d, n) => d > 0 && n > 0 },
+      "self-similar synthetic corpus must produce at least one edge")
+    h.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q85
+
+  test("q85 kernel: exact integer moments, ASCII fold, multibyte skip") {
+    def k(s: String) = {
+      val a = CharStatsKernels.alnumSq(UTF8String.fromString(s))
+      (a.getLong(0), a.getLong(1))
+    }
+    assert(k("aabb") == (4L, 8L))
+    assert(k("") == (0L, 0L))
+    assert(k("aA1") == (3L, 5L))          // a:2 -> 4, 1:1 -> 1
+    assert(k("áb") == (1L, 1L))      // á is multibyte: skipped
+    assert(k("zzzz") == (4L, 16L))        // single-char doc: sq = n²
+    assert(k("a b\nc!") == (3L, 3L))      // separators dropped
+  }
+
+  test("q85 diversity: agrees with the explode-chars reference " +
+      "computation and a single-char doc scores 0") {
+    val got = CorpusOps.charDiversity(spark, sf0001).cache()
+    assert(got.where($"diversity" < 0.0 || $"diversity" >= 1.0).count() == 0)
+    // engine-internal cross-check: same moments via explode (the slow
+    // plan q85's kernel replaces)
+    val ref = Tables.documents(spark, sf0001)
+      .select($"doc_id", explode(split(
+        regexp_replace(lower($"text"), "[^a-z0-9]", ""), "")).as("c"))
+      .where($"c" =!= "")
+      .groupBy($"doc_id", $"c").agg(count(lit(1)).as("n"))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_alnum"), sum($"n" * $"n").as("sq_sum"))
+    val joined = got.alias("g")
+      .join(ref.alias("r"), "doc_id")
+      .where(col("g.n_alnum") =!= col("r.n_alnum") ||
+        col("g.sq_sum") =!= col("r.sq_sum"))
+    assert(joined.count() == 0, "kernel and explode moments disagree")
+    assert(got.count() == ref.count())
+    got.unpersist()
+  }
+
+  test("q85 plan: ZERO exchanges, whole-stage codegen, and the kernel " +
+      "appears exactly ONCE (no filter-pushdown duplication)") {
+    val plan = CorpusOps.charDiversity(spark, sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected shuffle:\n$plan")
+    // '*(n)' is the executed-plan marker for a codegen stage
+    assert(plan.contains("*(1)"), s"not codegen'd:\n$plan")
+    val kernelCalls = "alnumsqstats".r.findAllIn(plan).size
+    assert(kernelCalls == 1,
+      s"kernel evaluated $kernelCalls times in the plan:\n$plan")
+  }
+
+  test("q85 empty-alnum docs score NULL diversity, not a dropped row " +
+      "or a division error") {
+    val docs = Seq((1L, "abc"), (2L, "!!! ???"), (3L, ""))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.charDiversityOf(docs)
+      .select($"doc_id", $"n_alnum", $"diversity")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2))))).toMap
+    assert(got(1L)._1 == 3L && got(1L)._2.isDefined)
+    assert(got(2L) == ((0L, None)))
+    assert(got(3L) == ((0L, None)))
+  }
+
+  // ---------------------------------------------------------------- q86
+
+  test("q86 dup n-gram rate: a shared 5-gram marks both docs, " +
+      "unshared grams stay clean") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon eta"),
+      (3L, "one two three four five")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupNgramRateOf(docs)
+      .select($"doc_id", $"n_grams", $"n_dup", $"dup_rate")
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // docs 1/2: 2 grams each, exactly one shared ("alpha ... epsilon")
+    assert(got(1L) == ((2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 1L, 0.5)))
+    assert(got(3L) == ((1L, 0L, 0.0)))
+  }
+
+  test("q86 on sf data: rates well-formed, short docs excluded, " +
+      "repeated gram INSTANCES all count") {
+    val r = CorpusOps.dupNgramRate(spark, sf0001).cache()
+    assert(r.where($"n_dup" > $"n_grams").count() == 0)
+    assert(r.where($"dup_rate" < 0.0 || $"dup_rate" > 1.0).count() == 0)
+    val shortDocs = Tables.documents(spark, sf0001)
+      .where(size(filter(split(lower($"text"), "[^a-z]+"),
+        w => w =!= "")) < CorpusOps.DupNgramN)
+      .count()
+    assert(r.count() ==
+      Tables.documents(spark, sf0001).count() - shortDocs)
+    r.unpersist()
+  }
+
+  test("q86 instance counting: a gram occurring twice in the same doc " +
+      "contributes BOTH instances once it is duplicated elsewhere") {
+    val docs = Seq(
+      (1L, "a b c d e a b c d e"), // "a b c d e" twice + bridging grams
+      (2L, "a b c d e x")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.dupNgramRateOf(docs)
+      .where($"doc_id" === 1L)
+      .select($"n_grams", $"n_dup").as[(Long, Long)].head()
+    // doc1 has 6 grams; the two "a b c d e" instances are dup'd via doc2
+    assert(got._1 == 6L)
+    assert(got._2 == 2L)
+  }
+}
