@@ -143,6 +143,10 @@ object SparkEntry {
         Some(CorpusOps.charDiversitySql)),
       ("q86_dup_ngram_rate", CorpusOps.dupNgramRate _,
         Some(CorpusOps.dupNgramRateSql)),
+      ("q87_langid_confusion", TextOps.langIdConfusion _,
+        Some(TextOps.langIdConfusionSql)),
+      ("q88_quality_gate", CorpusOps.qualityGate _,
+        Some(CorpusOps.qualityGateSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

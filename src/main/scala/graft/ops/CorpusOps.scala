@@ -134,6 +134,13 @@ object CorpusOps {
       .withColumn("rn", row_number().over(byDoc))
       .where($"rn" <= LiftWordsPerDoc)
       .select($"doc_id", $"word")
+      .cache()
+    // single-scan materialization: capped feeds FOUR consumers (both
+    // sides of the pair self-join and both n_a/n_b lookups) — without
+    // it each consumer re-runs tokenize → tf → df → gate → window
+    // (relying on AQE exchange reuse to dedupe is not a contract).
+    // Bounded: ≤ LiftWordsPerDoc rows per doc, two narrow columns.
+    capped.count()
     val nw = capped.groupBy($"word").agg(count(lit(1)).as("n"))
     val pairs = capped.as("a")
       .join(capped.as("b"),
@@ -245,6 +252,95 @@ object CorpusOps {
        |    1.0 - CAST(sq_sum AS DOUBLE) / CAST(n_alnum * n_alnum AS DOUBLE)
        |  END AS diversity
        |FROM m""".stripMargin
+  }
+
+  /** q88 quality-gate thresholds. All three rules compare EXACT
+    * integers — no float ever crosses the engine boundary:
+    * `tokens < MinTokens`; `diversity < 0.92` is algebraically
+    * rewritten to `100·Σc² > 8·n²` (1 − sq/n² < 92/100 ⇔
+    * 100·sq > 8·n²); `digit_ratio > 0.3` to `10·digits > 3·alnum`. */
+  val GateMinTokens = 15
+  val GateDiversityPctFloor = 92
+  val GateDigitPctCeil = 30
+
+  /** q88 — quality-gate report: the FineWeb/Gopher-style first-fail
+    * filter cascade over per-document signals, with the removal
+    * accounting the reference's outcome counters (A10, q17) apply to
+    * contract cleaning — each document lands in exactly ONE bucket,
+    * the FIRST rule it fails (too_short → low_diversity →
+    * digit_heavy → keep), so the report is a partition of the corpus
+    * and rule counts reconcile exactly to the total.
+    *
+    * Signals: `[a-z]+` token count (the q26/q63 tokenizer), Simpson
+    * concentration from the q85 `alnum_sq_stats` kernel, digit count.
+    * The synthetic corpus exercises too_short and low_diversity;
+    * digit_heavy cannot fire there (TESTDATA's documents carry no
+    * digits) and is pinned by the spec's synthetic frame instead.
+    *
+    * Scale shape: every signal is a per-row expression over the scan
+    * (one native kernel call + two codegen'd regex/size calls); the
+    * only exchange is the final ≤ 4-row verdict rollup (map-side
+    * combinable). This is the cheapest possible shape for a corpus
+    * gate — the same plan family as q62's deterministic split. */
+  def qualityGate(s: SparkSession, dir: String): DataFrame =
+    qualityGateOf(Tables.documents(s, dir))
+
+  /** [[qualityGate]] over an arbitrary (doc_id, text) frame —
+    * frame-level core for spec-side synthetic corpora. */
+  private[graft] def qualityGateOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    Functions.register(s)
+    import s.implicits._
+    docs
+      .select($"doc_id",
+        size(filter(split(lower($"text"), "[^a-z]+"), w => w =!= ""))
+          .cast("long").as("n_tok"),
+        length(regexp_replace($"text", "[^0-9]", "")).cast("long")
+          .as("n_digit"),
+        call_function("alnum_sq_stats", $"text").as("st"))
+      .select($"doc_id", $"n_tok", $"n_digit",
+        $"st".getItem(0).as("n_alnum"), $"st".getItem(1).as("sq_sum"))
+      .withColumn("verdict",
+        when($"n_tok" < GateMinTokens, "too_short")
+          .when($"n_alnum" === 0L ||
+            $"sq_sum" * 100L > lit(100L - GateDiversityPctFloor) *
+              $"n_alnum" * $"n_alnum", "low_diversity")
+          .when($"n_digit" * 10L > lit(GateDigitPctCeil / 10L) * $"n_alnum",
+            "digit_heavy")
+          .otherwise("keep"))
+      .groupBy($"verdict")
+      .agg(count(lit(1)).as("n_docs"), sum($"n_tok").as("n_tokens"))
+  }
+
+  val qualityGateSql: String = {
+    val counts = (('a' to 'z') ++ ('0' to '9')).map(c =>
+      s"(length(s)-length(replace(s,'$c',''))) * (length(s)-length(replace(s,'$c','')))")
+      .mkString(" + ")
+    s"""WITH m AS (
+       |  SELECT doc_id,
+       |    CAST(len(list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                         x -> x <> '')) AS BIGINT) AS n_tok,
+       |    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS BIGINT)
+       |      AS n_digit,
+       |    CAST(length(s) AS BIGINT) AS n_alnum,
+       |    CAST($counts AS BIGINT) AS sq_sum
+       |  FROM (SELECT doc_id, text,
+       |          regexp_replace(lower(text), '[^a-z0-9]', '', 'g') AS s
+       |        FROM documents)
+       |)
+       |SELECT verdict, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS n_tokens
+       |FROM (
+       |  SELECT n_tok,
+       |    CASE WHEN n_tok < $GateMinTokens THEN 'too_short'
+       |         WHEN n_alnum = 0 OR sq_sum * 100 >
+       |           ${100 - GateDiversityPctFloor} * n_alnum * n_alnum
+       |           THEN 'low_diversity'
+       |         WHEN n_digit * 10 > ${GateDigitPctCeil / 10} * n_alnum
+       |           THEN 'digit_heavy'
+       |         ELSE 'keep' END AS verdict
+       |  FROM m)
+       |GROUP BY 1""".stripMargin
   }
 
   /** Word n-gram width for the cross-document duplication rate. */

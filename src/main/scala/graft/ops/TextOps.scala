@@ -237,6 +237,34 @@ object TextOps {
         ($"cand_lang" === $"lang").as("correct"), $"score")
   }
 
+  /** q87 — lang-ID confusion matrix: q26's predictions rolled up to
+    * (declared lang, predicted lang) → document counts — the
+    * classifier-evaluation step a pipeline runs BEFORE trusting
+    * detected languages to drive mixture weighting (q70/q79): a
+    * heavy off-diagonal cell means the detector's profile set is
+    * wrong for that language and the downstream sampling would skew.
+    *
+    * Scale shape: inherits q26's (broadcast profile cross join +
+    * native count_occurrences kernel + per-doc WindowGroupLimit
+    * argmax); the confusion rollup itself is a ≤ |langs|²-row
+    * map-side-combinable aggregate — evaluation adds nothing to the
+    * exchange structure. */
+  def langIdConfusion(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    langId(s, dir)
+      .groupBy($"lang", $"pred_lang")
+      .agg(count(lit(1)).as("n_docs"))
+  }
+
+  // lazy: references langIdSql, which is declared below — a strict
+  // val here would embed null into the CTE at object init
+  lazy val langIdConfusionSql: String =
+    s"""WITH pred AS (
+       |$langIdSql
+       |)
+       |SELECT lang, pred_lang, CAST(count(*) AS BIGINT) AS n_docs
+       |FROM pred GROUP BY 1, 2""".stripMargin
+
   val langIdSql: String = {
     val profs = Seq(
       ("en", "the"), ("en", "fast"), ("en", "small"),

@@ -216,6 +216,58 @@ class CorpusOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  // ---------------------------------------------------------------- q87
+
+  test("q87 confusion matrix: cells partition the corpus and the " +
+      "diagonal equals q26's correct count") {
+    val m = graft.ops.TextOps.langIdConfusion(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(m.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    val diag = m.where($"lang" === $"pred_lang")
+      .agg(coalesce(sum($"n_docs"), lit(0L))).as[Long].head()
+    val correct = graft.ops.TextOps.langId(spark, sf0001)
+      .where($"correct").count()
+    assert(diag == correct)
+    m.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q88
+
+  test("q88 quality gate: verdicts partition the corpus; too_short " +
+      "fires on the sf corpus short tail") {
+    val g = CorpusOps.qualityGate(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(g.agg(sum($"n_docs")).as[Long].head() == nDocs)
+    val verdicts = g.select($"verdict").as[String].collect().toSet
+    assert(verdicts.subsetOf(
+      Set("keep", "too_short", "low_diversity", "digit_heavy")))
+    assert(verdicts.contains("keep"))
+    assert(verdicts.contains("too_short"),
+      "sf0.001 has 26 docs under the token floor")
+    g.unpersist()
+  }
+
+  test("q88 first-fail ordering: each rule catches its document, " +
+      "earlier rules shadow later ones") {
+    val docs = Seq(
+      // 1: only 3 tokens -> too_short (even though also digit-heavy)
+      (1L, "ab cd 99999999"),
+      // 2: 16 tokens, single letter -> low_diversity
+      (2L, Seq.fill(16)("a").mkString(" ")),
+      // 3: 16 diverse words + enough digits -> digit_heavy
+      (3L, "the quick brown fox jumps over the lazy dog while five " +
+        "wizards mix juice quietly 0123456789 0123456789 0123456789 " +
+        "0123456789"),
+      // 4: ordinary diverse prose -> keep
+      (4L, "the quick brown fox jumps over the lazy dog while five " +
+        "wizards mix their juice quietly and everyone watches")
+    ).toDF("doc_id", "text")
+    val got = CorpusOps.qualityGateOf(docs)
+      .select($"verdict", $"n_docs").as[(String, Long)].collect().toMap
+    assert(got == Map("too_short" -> 1L, "low_diversity" -> 1L,
+      "digit_heavy" -> 1L, "keep" -> 1L))
+  }
+
   test("q86 instance counting: a gram occurring twice in the same doc " +
       "contributes BOTH instances once it is duplicated elsewhere") {
     val docs = Seq(
