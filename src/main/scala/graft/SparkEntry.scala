@@ -147,6 +147,8 @@ object SparkEntry {
         Some(TextOps.langIdConfusionSql)),
       ("q88_quality_gate", CorpusOps.qualityGate _,
         Some(CorpusOps.qualityGateSql)),
+      ("q89_stream_quality_gate", StreamOps.streamQualityGate _,
+        Some(StreamOps.streamQualityGateSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

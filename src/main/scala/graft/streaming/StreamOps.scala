@@ -301,6 +301,27 @@ object StreamOps {
   val streamDedupKeysSql: String =
     "SELECT DISTINCT user_id, event_type FROM events"
 
+  /** q89 — streaming quality gate: [[graft.ops.CorpusOps.qualityGateOf]]
+    * applied VERBATIM to the documents file-stream — one frame-level
+    * definition executes in both batch (q88) and continuous-ingest
+    * mode, so the two can never drift (the same single-definition
+    * guarantee the q80 dedup and q69 ingest probe give their batch
+    * twins). Every signal is a stateless per-row expression (the
+    * native kernel runs per micro-batch with no state), and the only
+    * stateful operator is the ≤ 4-group verdict rollup — complete
+    * output mode, O(1) state, no watermark needed.
+    *
+    * The oracle is the batch q88 SQL: after the stream drains the
+    * corpus, the running aggregate must equal the batch answer
+    * exactly. */
+  def streamQualityGate(s: SparkSession, dir: String): DataFrame = {
+    val agged = graft.ops.CorpusOps.qualityGateOf(
+      fileStream(s, dir, "documents"))
+    drainToTable(s, agged, "graft_stream_qgate", "complete")
+  }
+
+  val streamQualityGateSql: String = graft.ops.CorpusOps.qualityGateSql
+
   /** q69 — streaming ingest near-dup gate (the continuous-ingestion
     * form of q21's MinHash+LSH): newly arriving documents — the
     * deterministic `doc_id % 10 = 0` ingest slice — stream in from

@@ -60,7 +60,21 @@ object SoakProbe {
       ("q74_training_pipeline", graft.ops.PipelineOps.trainingPipeline _),
       ("q75_neardup_survivors", graft.ops.DedupOps.neardupSurvivors _),
       ("q76_training_bins", graft.ops.LayoutOps.trainingBins _),
-      ("q77_incremental_labels", graft.ops.DedupOps.incrementalLabels _))
+      ("q77_incremental_labels", graft.ops.DedupOps.incrementalLabels _),
+      // round-12 corpus-index family (documents-only, so replication
+      // applies). Caesar-rotated replicas have disjoint vocabularies
+      // (factor ≤ 26), so the expected structure slopes are: q81
+      // postings rows k× (per-replica vocab, df flat), q82 pair rows
+      // k× (co-occurrence never crosses replicas), q85/q86 rows k×
+      // with per-doc values IDENTICAL across replicas (translate is a
+      // bijection on a-z: char histograms permute, moments and gram
+      // structure are invariant), q88 stays ≤ 4 verdict rows with
+      // n_docs k× (flat-family, like q73's fixed manifest)
+      ("q81_postings", graft.ops.CorpusOps.postings _),
+      ("q82_term_lift", graft.ops.CorpusOps.termLift _),
+      ("q85_char_diversity", graft.ops.CorpusOps.charDiversity _),
+      ("q86_dup_ngram_rate", graft.ops.CorpusOps.dupNgramRate _),
+      ("q88_quality_gate", graft.ops.CorpusOps.qualityGate _))
 
     // The IVF nlist scaling rule, measured: fixed k holds per-bucket
     // size growing with the corpus (in-bucket pair work ~ n²/k →

@@ -143,6 +143,16 @@ class StreamingSpec extends SparkSpec {
     assert(st.count() == batch.count())
   }
 
+  test("streaming quality gate equals the batch q88 report exactly " +
+      "(single frame-level definition, two execution modes)") {
+    val st = StreamOps.streamQualityGate(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    val batch = graft.ops.CorpusOps.qualityGate(spark, sf0001)
+      .as[(String, Long, Long)].collect().toSet
+    assert(st == batch)
+    assert(st.nonEmpty)
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val a = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
     val b = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
