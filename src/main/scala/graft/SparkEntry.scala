@@ -149,6 +149,18 @@ object SparkEntry {
         Some(CorpusOps.qualityGateSql)),
       ("q89_stream_quality_gate", StreamOps.streamQualityGate _,
         Some(StreamOps.streamQualityGateSql)),
+      ("q90_stream_sessionize", StreamOps.streamSessionize _,
+        Some(StreamOps.streamSessionizeSql)),
+      ("q91_epoch_shuffle", LayoutOps.epochShuffle _,
+        Some(LayoutOps.epochShuffleSql)),
+      ("q92_containment", DedupOps.bigramContainment _,
+        Some(DedupOps.bigramContainmentSql)),
+      ("q93_minhash_est_error", DedupOps.minhashEstError _,
+        Some(DedupOps.minhashEstErrorSql)),
+      ("q94_cohort_retention", StatsOps.cohortRetention _,
+        Some(StatsOps.cohortRetentionSql)),
+      ("q95_source_similarity", CorpusOps.sourceSimilarity _,
+        Some(CorpusOps.sourceSimilaritySql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

@@ -413,4 +413,94 @@ object CorpusOps {
        |  CAST(sum(CASE WHEN nd >= 2 THEN n ELSE 0 END) AS DOUBLE)
        |    / CAST(sum(n) AS DOUBLE) AS dup_rate
        |FROM dg JOIN gdf USING (gram) GROUP BY 1""".stripMargin
+
+  /** Per-source term-profile length for q95 — each source is
+    * represented by its top-K terms by total tf (word as tiebreak),
+    * so the pair stage is O(sources² · K) no matter how large the
+    * vocabulary grows (a web corpus has millions of domains and tens
+    * of millions of terms; uncapped profiles would make the word-keyed
+    * pair join quadratic in df). */
+  val SrcTermsK = 200
+
+  /** q95 — source-similarity matrix: cosine² between per-source
+    * term-count profiles, the corpus-composition audit a mixture
+    * designer reads before setting q70's weights (two sources with
+    * cos² ≈ 1 are redundant; a source orthogonal to the rest adds
+    * diversity). Cosine SQUARED, not cosine: `cos² = dot² /
+    * (‖a‖²·‖b‖²)` keeps every operand an exact integer until one
+    * fixed-shape double expression — no sqrt crosses the engine
+    * boundary (the q82 lift-not-PMI rule), and cos² is a strictly
+    * monotone transform of cosine on non-negative counts so any
+    * ranking consumer is unaffected.
+    *
+    * Scale shape: tf is one map-side-combinable aggregate; the top-K
+    * profile window plans as WindowGroupLimit on the source exchange;
+    * the pair join is keyed on WORD (each word joins the ≤ |sources|
+    * profiles containing it), so the shuffle is profile-sized —
+    * O(sources·K) rows — and the rollup output is the ≤ C(sources,2)
+    * matrix. */
+  def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tf = Tables.documents(s, dir)
+      .select($"source",
+        explode(filter(split(lower($"text"), "[^a-z]+"), w => w =!= ""))
+          .as("word"))
+      .groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    val bySrc = Window.partitionBy($"source")
+      .orderBy($"tf".desc, $"word")
+    val prof = tf.withColumn("rn", row_number().over(bySrc))
+      .where($"rn" <= SrcTermsK)
+      .select($"source", $"word", $"tf")
+      .cache()
+    // single-scan materialization: both sides of the pair join and
+    // both norm lookups re-scan the profile frame
+    prof.count()
+    val norms = prof.groupBy($"source")
+      .agg(sum($"tf" * $"tf").as("sq"))
+    val dots = prof.as("a").join(prof.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val out = dots
+      .join(norms.select($"source".as("src_a"), $"sq".as("sq_a")), "src_a")
+      .join(norms.select($"source".as("src_b"), $"sq".as("sq_b")), "src_b")
+      .select($"src_a", $"src_b", $"dot",
+        (($"dot".cast("double") * $"dot".cast("double")) /
+          ($"sq_a".cast("double") * $"sq_b".cast("double"))).as("cos2"))
+    val checked = out.localCheckpoint(true)
+    prof.unpersist()
+    checked
+  }
+
+  val sourceSimilaritySql: String =
+    s"""WITH tf AS (
+       |  SELECT source, x AS word, CAST(count(*) AS BIGINT) AS tf
+       |  FROM (SELECT source,
+       |          unnest(string_split_regex(lower(text), '[^a-z]+')) AS x
+       |        FROM documents)
+       |  WHERE x <> '' GROUP BY 1, 2
+       |), prof AS (
+       |  SELECT source, word, tf FROM (
+       |    SELECT source, word, tf,
+       |      row_number() OVER (PARTITION BY source
+       |        ORDER BY tf DESC, word) AS rn
+       |    FROM tf)
+       |  WHERE rn <= $SrcTermsK
+       |), norms AS (
+       |  SELECT source, CAST(sum(tf * tf) AS BIGINT) AS sq
+       |  FROM prof GROUP BY 1
+       |), dots AS (
+       |  SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+       |  FROM prof a JOIN prof b
+       |    ON a.word = b.word AND a.source < b.source
+       |  GROUP BY 1, 2
+       |)
+       |SELECT d.src_a, d.src_b, d.dot,
+       |  (CAST(d.dot AS DOUBLE) * CAST(d.dot AS DOUBLE))
+       |    / (CAST(na.sq AS DOUBLE) * CAST(nb.sq AS DOUBLE)) AS cos2
+       |FROM dots d
+       |JOIN norms na ON na.source = d.src_a
+       |JOIN norms nb ON nb.source = d.src_b""".stripMargin
 }

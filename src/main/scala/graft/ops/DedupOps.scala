@@ -1031,4 +1031,154 @@ object DedupOps {
       |  JOIN sizes na ON na.doc_id = i.doc_a
       |  JOIN sizes nb ON nb.doc_id = i.doc_b
       |) WHERE jaccard >= 0.05""".stripMargin
+
+  /** Containment threshold for q92 — |A∩B| / min(|A|,|B|) at or above
+    * this marks the smaller document as (mostly) contained in the
+    * larger one. */
+  val ContainmentThreshold = 0.25
+
+  /** q92 — asymmetric CONTAINMENT near-dup (Broder's containment
+    * coefficient `|A∩B| / min(|A|,|B|)`): catches quotation and
+    * subset-duplication that symmetric Jaccard misses — a short doc
+    * fully embedded in a long one has tiny Jaccard (union is the long
+    * doc) but containment ≈ 1. The standard companion to q23 in a
+    * training-data dedup stage (RefinedWeb/CCNet run both).
+    *
+    * Same scale shape as q23: (lang, source) blocking bounds the pair
+    * space, the distinct-bigram sets come from the native
+    * [[graft.functions.BigramSet]] kernel (one per-doc pass, no
+    * corpus-wide distinct shuffle), set sizes ride the equi-join as
+    * grouping columns — one blocked equi-join + one aggregation, never
+    * all-pairs. The one float is a single division of exact integers.
+    */
+  def bigramContainment(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val bg = Tables.documents(s, dir)
+      .select($"doc_id", $"lang", $"source",
+        expr("bigram_set(text)").as("bgs"))
+      .select($"doc_id", $"lang", $"source",
+        size($"bgs").cast("long").as("n"), explode($"bgs").as("bigram"))
+      .cache()
+    // single-scan materialization: the self-join reads bg twice; a
+    // cold cache would run the kernel once per side
+    bg.count()
+    val a = bg.as("a"); val b = bg.as("b")
+    val pairs = a.join(b,
+        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+          $"a.bigram" === $"b.bigram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"),
+        $"a.n".as("n_a"), $"b.n".as("n_b"))
+      .agg(count(lit(1)).as("n_inter"))
+      .select($"doc_a", $"doc_b", $"n_inter",
+        ($"n_inter".cast("double") /
+          least($"n_a", $"n_b").cast("double")).as("containment"))
+      .where($"containment" >= ContainmentThreshold)
+    val out = pairs.localCheckpoint(true)
+    bg.unpersist()
+    out
+  }
+
+  val bigramContainmentSql: String =
+    s"""WITH bg AS (
+       |  SELECT DISTINCT doc_id, lang, source, bigram
+       |  FROM (
+       |    SELECT doc_id, lang, source,
+       |      unnest(list_transform(range(1, len(ws)),
+       |        i -> ws[i] || ' ' || ws[i+1])) AS bigram
+       |    FROM (SELECT doc_id, lang, source,
+       |            list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |              w -> w <> '') AS ws
+       |          FROM documents)
+       |    WHERE len(ws) >= 2)
+       |), sizes AS (SELECT doc_id, count(*) AS n FROM bg GROUP BY doc_id),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |         CAST(count(*) AS BIGINT) AS n_inter
+       |  FROM bg a JOIN bg b
+       |    ON a.lang = b.lang AND a.source = b.source
+       |   AND a.bigram = b.bigram AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2
+       |)
+       |SELECT doc_a, doc_b, n_inter, containment FROM (
+       |  SELECT i.doc_a, i.doc_b, i.n_inter,
+       |    CAST(n_inter AS DOUBLE) / CAST(least(na.n, nb.n) AS DOUBLE)
+       |      AS containment
+       |  FROM inter i
+       |  JOIN sizes na ON na.doc_id = i.doc_a
+       |  JOIN sizes nb ON nb.doc_id = i.doc_b
+       |) WHERE containment >= $ContainmentThreshold""".stripMargin
+
+  /** q93 — MinHash sketch-quality audit: for every banded-candidate
+    * pair, the signature-agreement ESTIMATE of Jaccard
+    * (`#{p : mₚᴬ = mₚᴮ} / 8` — the unbiased MinHash estimator) next
+    * to the EXACT shingle Jaccard, with the signed estimation error.
+    * This is the calibration report a production dedup pipeline ships
+    * alongside its sketch parameters: it answers "are 8 permutations
+    * enough at our threshold?" from the live corpus instead of from
+    * theory, and regressions in it catch a broken permutation family
+    * (e.g. correlated slices) that the pair pipeline itself cannot
+    * see.
+    *
+    * Reuses the ONE banding definition ([[sigStruct]] / [[bandKeys]] /
+    * [[capBandBuckets]]), so the audited candidates are exactly the
+    * q21 candidates. Scale shape identical to q21 — per-doc kernels,
+    * capped band buckets, candidate-proportional verification. The
+    * floats are `n_eq/8` (exact by construction: n_eq ∈ 0..8) and one
+    * division + one subtraction of identical operands in both
+    * engines.
+    */
+  def minhashEstError(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val minCols = (0 until nPerms).map(p =>
+      $"sg.mins".getItem(p).as(s"m$p"))
+    val sig = sigStruct(Tables.documents(s, dir))
+      .select(($"doc_id" +: $"sg.ss".as("ss") +: minCols): _*)
+      .cache()
+    // single-scan materialization (q21 convention): bands + both
+    // sides of the verify join re-scan sig
+    sig.count()
+    val bands = bandKeys(p => col(s"m$p")).map { case (b, k) =>
+      sig.select($"doc_id", lit(b).as("band"), k.as("key"))
+    }.reduce(_ union _)
+    val bounded = capBandBuckets(bands, Seq("band", "key"))
+    val cand = bounded.as("a").join(bounded.as("b"),
+        $"a.band" === $"b.band" && $"a.key" === $"b.key" &&
+          $"a.doc_id" < $"b.doc_id")
+      .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      .distinct()
+    def side(tag: String, idCol: String) = sig.select(
+      ($"doc_id".as(idCol) +: $"ss".as(s"ss_$tag") +:
+        (0 until nPerms).map(p => col(s"m$p").as(s"${tag}_m$p"))): _*)
+    val nEq = (0 until nPerms).map(p =>
+      when(col(s"a_m$p") === col(s"b_m$p"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val out = cand
+      .join(side("a", "doc_a"), "doc_a")
+      .join(side("b", "doc_b"), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect($"ss_a", $"ss_b")).cast("long"))
+      .where($"n_inter" > 0)
+      .withColumn("jaccard", $"n_inter".cast("double") /
+        (size($"ss_a") + size($"ss_b") - $"n_inter").cast("double"))
+      .withColumn("est", nEq.cast("double") / lit(nPerms.toDouble))
+      .select($"doc_a", $"doc_b", $"jaccard", $"est",
+        ($"est" - $"jaccard").as("err"))
+    val checked = out.localCheckpoint(true)
+    sig.unpersist()
+    checked
+  }
+
+  val minhashEstErrorSql: String = {
+    val nEq = (0 until nPerms).map(p =>
+      s"CASE WHEN sa.m$p = sb.m$p THEN 1 ELSE 0 END").mkString(" + ")
+    minhashCtes + s""", est AS (
+       |  SELECT p.doc_a, p.doc_b, p.jaccard,
+       |    CAST($nEq AS DOUBLE) / $nPerms.0 AS est
+       |  FROM pairs p
+       |  JOIN sig sa ON sa.doc_id = p.doc_a
+       |  JOIN sig sb ON sb.doc_id = p.doc_b)
+       |SELECT doc_a, doc_b, jaccard, est, est - jaccard AS err
+       |FROM est""".stripMargin
+  }
 }

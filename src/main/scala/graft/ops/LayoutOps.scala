@@ -492,6 +492,55 @@ object LayoutOps {
        |  FROM documents)
        |GROUP BY 1, 2""".stripMargin
 
+  /** Epoch seed for q91 — a training run derives one seed per epoch
+    * (epoch 2 would be "e2"), giving a fresh deterministic global
+    * order with no RNG state to coordinate across executors. */
+  val EpochSeed = "e1"
+
+  /** q91 — deterministic epoch shuffle: the training-data-loader
+    * "global shuffle" as a manifest. Every document gets an epoch-
+    * seeded pseudo-random key `md5(doc_id || ':' || seed)`; the key's
+    * hash value picks the shard and the key's hex string orders
+    * documents WITHIN the shard — so (shard, pos) is a uniformly
+    * shuffled, fully deterministic training order that any reader can
+    * reproduce from (doc_id, seed) alone. This is the piece q73/q76
+    * don't cover: q73 shards by content hash (stable, but epoch-
+    * invariant), q76 balances a frozen snapshot; q91 is the per-epoch
+    * reshuffle between them.
+    *
+    * Scale shape: NO global sort — the naive `ORDER BY rand()` form
+    * is a single-partition row_number at any size. The shard
+    * assignment is a stateless per-row expression, and the position
+    * window partitions BY SHARD, so the one exchange hash-partitions
+    * on shard and each shard sorts independently (exactly how the
+    * shards are consumed); shard count scales with writer parallelism
+    * via [[NShards]]. Everything crossing the engine boundary is an
+    * integer or the md5 hex string both engines order identically
+    * (ASCII). */
+  def epochShuffle(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val key = s"concat(CAST(doc_id AS string), ':$EpochSeed')"
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("ord"), col("doc_id"))
+    Tables.documents(s, dir)
+      .withColumn("ord", expr(s"md5($key)"))
+      .withColumn("shard",
+        pmod(expr(s"CAST(${md5HexValSpark(key)} AS BIGINT)"),
+          lit(NShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+      .select(col("doc_id"), col("shard"), col("pos"))
+  }
+
+  val epochShuffleSql: String = {
+    val key = s"concat(CAST(doc_id AS VARCHAR), ':$EpochSeed')"
+    s"""SELECT doc_id,
+       |  CAST(${md5HexValDuck(key)} AS BIGINT) % $NShards AS shard,
+       |  CAST(ROW_NUMBER() OVER (
+       |    PARTITION BY CAST(${md5HexValDuck(key)} AS BIGINT) % $NShards
+       |    ORDER BY md5($key), doc_id) AS BIGINT) AS pos
+       |FROM documents""".stripMargin
+  }
+
   /** q37 — distinct-count sketches (the HLL family SURVEY.md §2.4
     * notes as absent from the reference; a north-star extension):
     * exact vs approx distinct users per event type. approx values are

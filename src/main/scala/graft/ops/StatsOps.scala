@@ -287,4 +287,44 @@ object StatsOps {
       |       LEFT JOIN p USING (user_id)
       |GROUP BY 1""".stripMargin
 
+  /** q94 — cohort retention: users cohorted by their FIRST active day,
+    * then for each (cohort_day, day_offset) the number of distinct
+    * cohort members active that many days later — the standard
+    * retention triangle (the product-analytics companion to q38's
+    * sessionization and q83's funnel, both over the same events
+    * stream).
+    *
+    * Scale shape: the per-user first-day is ONE map-side-combinable
+    * min aggregate keyed by user_id; the (user, day) activity frame is
+    * a distinct on the same user-partitioned exchange, so Catalyst
+    * reuses one hash partitioning for both and the cohort join is
+    * co-partitioned (zero extra shuffle on the big side); the final
+    * rollup groups the already-tiny (cohort, offset, user) frame.
+    * Counts only — every value crossing the engine boundary is an
+    * exact integer or a date. */
+  def cohortRetention(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val active = Tables.events(s, dir)
+      .select($"user_id", to_date($"ts").as("day"))
+      .distinct()
+    val cohorts = active.groupBy($"user_id")
+      .agg(min($"day").as("cohort_day"))
+    active.join(cohorts, "user_id")
+      .groupBy($"cohort_day",
+        datediff($"day", $"cohort_day").cast("long").as("day_offset"))
+      .agg(countDistinct($"user_id").as("n_active"))
+  }
+
+  val cohortRetentionSql: String =
+    """WITH active AS (
+      |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+      |), cohorts AS (
+      |  SELECT user_id, min(day) AS cohort_day FROM active GROUP BY 1
+      |)
+      |SELECT c.cohort_day,
+      |       CAST(a.day - c.cohort_day AS BIGINT) AS day_offset,
+      |       CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+      |FROM active a JOIN cohorts c USING (user_id)
+      |GROUP BY 1, 2""".stripMargin
+
 }

@@ -322,6 +322,64 @@ object StreamOps {
 
   val streamQualityGateSql: String = graft.ops.CorpusOps.qualityGateSql
 
+  /** q90 — STREAMING sessionization: q38's gap-based sessions as a
+    * `session_window` streaming aggregate (SURVEY.md §2.9 — the one
+    * window family the suite's streaming trio didn't yet exercise:
+    * q34 pins fixed windows, q59 join state, q64 arbitrary state;
+    * session windows have MERGING state, a different state-store
+    * code path). Watermark 0 s + append mode emit exactly the
+    * sessions the watermark (max event time) has finalized: a
+    * session's window is [first_ts, last_ts + gap), so the oracle is
+    * the batch q38 sessionization restricted to
+    * `last_ts + gap <= max(ts)` — the in-flight tail session per
+    * user stays in state, exactly continuous semantics (the q60
+    * contract, applied to sessions).
+    *
+    * Merge semantics pinned by probe and spec: two events exactly
+    * `gap` apart MERGE (Spark merges on overlap-or-touch), matching
+    * q38's `diff > gap` boundary rule, so the two operators cannot
+    * drift. State per key is bounded by the user's open session, and
+    * the session store evicts on watermark — state is O(active
+    * users), not stream length.
+    */
+  def streamSessionize(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val agg = eventsStream(s, dir)
+      .withWatermark("ts", "0 seconds")
+      .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2($"value")).cast("double").as("sum_value"))
+    drainToTable(s, agg, "graft_stream_sessions", "append")
+      .select($"session_window.start".as("ws"),
+        $"session_window.end".as("we"),
+        $"user_id", $"n_events", $"sum_value")
+  }
+
+  val streamSessionizeSql: String =
+    """WITH sess AS (
+      |  SELECT user_id, session_id, MIN(ts) AS ws,
+      |         MAX(ts) + INTERVAL 30 MINUTE AS we,
+      |         COUNT(*) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(12,2))) AS DOUBLE)
+      |           AS sum_value
+      |  FROM (
+      |    SELECT user_id, ts, value,
+      |      SUM(boundary) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |        ROWS UNBOUNDED PRECEDING) AS session_id
+      |    FROM (
+      |      SELECT *,
+      |        CASE WHEN prev_us IS NULL
+      |               OR epoch_us(ts) - prev_us > 1800 * 1000000
+      |             THEN 1 ELSE 0 END AS boundary
+      |      FROM (SELECT event_id, user_id, ts, value,
+      |              LAG(epoch_us(ts), 1) OVER (PARTITION BY user_id
+      |                ORDER BY ts, event_id) AS prev_us
+      |            FROM events))
+      |  ) GROUP BY user_id, session_id
+      |)
+      |SELECT ws, we, user_id, n_events, sum_value FROM sess
+      |WHERE we <= (SELECT max(ts) FROM events)""".stripMargin
+
   /** q69 — streaming ingest near-dup gate (the continuous-ingestion
     * form of q21's MinHash+LSH): newly arriving documents — the
     * deterministic `doc_id % 10 = 0` ingest slice — stream in from

@@ -281,4 +281,85 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got._1 == 6L)
     assert(got._2 == 2L)
   }
+
+  // ---------------------------------------------------------------- q94
+
+  test("q94 cohort retention: day-0 row per cohort counts the whole " +
+      "cohort, offsets non-negative, actives never exceed cohort size") {
+    val r = StatsOps.cohortRetention(spark, sf0001).cache()
+    assert(r.count() > 0)
+    assert(r.where($"day_offset" < 0).count() == 0)
+    // day 0 of each cohort = every member was active that day (it IS
+    // their first day), so n_active(offset 0) = cohort size, and every
+    // later offset's actives <= cohort size
+    val day0 = r.where($"day_offset" === 0)
+      .select($"cohort_day", $"n_active".as("cohort_size"))
+    assert(day0.count() ==
+      r.select($"cohort_day").distinct().count())
+    val overflow = r.join(day0, "cohort_day")
+      .where($"n_active" > $"cohort_size")
+    assert(overflow.count() == 0)
+    // total day-0 mass = all users exactly once
+    val users = Tables.events(spark, sf0001)
+      .select($"user_id").distinct().count()
+    assert(day0.agg(sum($"cohort_size")).as[Long].head() == users)
+    r.unpersist()
+  }
+
+  // ---------------------------------------------------------------- q95
+
+  test("q95 source similarity: full upper triangle, cos² bounds, and " +
+      "a duplicated source scores cos² = 1 against itself") {
+    val m = CorpusOps.sourceSimilarity(spark, sf0001).cache()
+    val nSrc = Tables.documents(spark, sf0001)
+      .select($"source").distinct().count()
+    // the synthetic sources share the tiny vocabulary, so every pair
+    // shares at least one profile term -> complete upper triangle
+    assert(m.count() == nSrc * (nSrc - 1) / 2)
+    assert(m.where($"src_a" >= $"src_b").count() == 0)
+    assert(m.where($"cos2" <= 0.0 || $"cos2" > 1.0000000001).count() == 0)
+    m.unpersist()
+  }
+
+  test("q95 profile cap: no source carries more than SrcTermsK terms " +
+      "and identical term profiles give cos² exactly 1") {
+    // hand corpus: s1 and s2 identical text (identical profiles),
+    // s3 disjoint vocabulary -> no s3 pairs survive the word join
+    val docs = Seq(
+      (1L, "alpha beta beta gamma", "en", "s1"),
+      (2L, "alpha beta beta gamma", "en", "s2"),
+      (3L, "delta epsilon zeta", "en", "s3"))
+      .toDF("doc_id", "text", "lang", "source")
+    val tf = docs.select($"source",
+        explode(split(lower($"text"), "[^a-z]+")).as("word"))
+      .where($"word" =!= "")
+      .groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
+    val norms = tf.groupBy($"source").agg(sum($"tf" * $"tf").as("sq"))
+    val dots = tf.as("a").join(tf.as("b"),
+        col("a.word") === col("b.word") &&
+          col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(sum(col("a.tf") * col("b.tf")).as("dot"))
+    val got = dots
+      .join(norms.select($"source".as("src_a"), $"sq".as("sq_a")), "src_a")
+      .join(norms.select($"source".as("src_b"), $"sq".as("sq_b")), "src_b")
+      .select($"src_a", $"src_b",
+        (($"dot".cast("double") * $"dot".cast("double")) /
+          ($"sq_a".cast("double") * $"sq_b".cast("double"))).as("cos2"))
+      .as[(String, String, Double)].collect()
+    assert(got.toSeq == Seq(("s1", "s2", 1.0)))
+    // cap property on the real corpus
+    val over = CorpusOps.sourceSimilarity(spark, sf0001)
+    val profSizes = Tables.documents(spark, sf0001)
+      .select($"source",
+        explode(filter(split(lower($"text"), "[^a-z]+"), w => w =!= ""))
+          .as("word"))
+      .groupBy($"source").agg(countDistinct($"word").as("nw"))
+      .as[(String, Long)].collect()
+    // vocabulary is far below the cap at sf0.001 — the cap must not
+    // have dropped any term (dot over full profiles ⇒ cos2 for the
+    // duplicated-text hand case above is the uncapped value)
+    assert(profSizes.forall(_._2 <= CorpusOps.SrcTermsK))
+    assert(over.count() > 0)
+  }
 }

@@ -491,4 +491,71 @@ class DedupSimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("q92 containment: bounds, ordering, and containment >= the " +
+      "same pair's symmetric jaccard") {
+    val c = DedupOps.bigramContainment(spark, sf0001).cache()
+    assert(c.count() > 0)
+    assert(c.where($"doc_a" >= $"doc_b").count() == 0)
+    assert(c.where($"containment" < DedupOps.ContainmentThreshold ||
+      $"containment" > 1.0).count() == 0)
+    // containment divides the same intersection by the SMALLER set, so
+    // wherever q23 also surfaced the pair, containment >= jaccard
+    val j = DedupOps.ngramJaccard(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"jaccard")
+    val both = c.join(j, Seq("doc_a", "doc_b"))
+    assert(both.count() > 0)
+    assert(both.where($"containment" < $"jaccard").count() == 0)
+    c.unpersist()
+  }
+
+  test("q92 containment: a doc whose bigrams are a strict subset of " +
+      "another's scores exactly 1.0") {
+    graft.functions.Functions.register(spark)
+    // same (lang, source) block; doc 2's word sequence embeds doc 1's
+    val docs = Seq(
+      (1L, "alpha beta gamma delta", "en", "s"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta", "en", "s"),
+      (3L, "iota kappa lambda mu nu xi", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+    val bg = docs.select($"doc_id", $"lang", $"source",
+        explode(expr("bigram_set(text)")).as("bigram"),
+        size(expr("bigram_set(text)")).cast("long").as("n"))
+    val inter = bg.as("a").join(bg.as("b"),
+        $"a.lang" === $"b.lang" && $"a.source" === $"b.source" &&
+          $"a.bigram" === $"b.bigram" && $"a.doc_id" < $"b.doc_id")
+      .groupBy($"a.doc_id".as("da"), $"b.doc_id".as("db"),
+        $"a.n".as("na"), $"b.n".as("nb"))
+      .agg(count(lit(1)).as("ni"))
+      .select($"da", $"db",
+        ($"ni".cast("double") / least($"na", $"nb").cast("double"))
+          .as("containment"))
+      .collect()
+    assert(inter.length == 1)
+    assert(inter.head.getAs[Long]("da") == 1L)
+    assert(inter.head.getAs[Double]("containment") == 1.0)
+  }
+
+  test("q93 minhash estimation audit: est in {0/8..8/8}, err ≡ " +
+      "est − jaccard, candidate set ≡ q21's pairs") {
+    val audit = DedupOps.minhashEstError(spark, sf0001).cache()
+    val pairs = DedupOps.minhashLsh(spark, sf0001)
+      .select($"doc_a", $"doc_b", $"jaccard").cache()
+    assert(audit.count() == pairs.count())
+    assert(audit.join(pairs, Seq("doc_a", "doc_b"), "left_anti")
+      .count() == 0)
+    val rows = audit.select($"jaccard", $"est", $"err")
+      .as[(Double, Double, Double)].collect()
+    rows.foreach { case (j, e, r) =>
+      assert(e >= 0.0 && e <= 1.0 && (e * 8.0) == math.rint(e * 8.0),
+        s"est $e is not a multiple of 1/8")
+      assert(r == e - j, s"err $r != est - jaccard ${e - j}")
+    }
+    // a banded candidate shares at least one 4-slice band, so est >= 1/2
+    // of that band's fraction — concretely n_eq >= 0 is trivial, but at
+    // least ONE pair must have full agreement on some band: est >= 0.5
+    // for identical docs; non-vacuity: some est > 0
+    assert(rows.exists(_._2 > 0.0))
+    audit.unpersist(); pairs.unpersist()
+  }
+
 }

@@ -252,4 +252,34 @@ class LayoutSpec extends SparkSpec {
         $"exact_users" * 0.2 + lit(2)).count()
     assert(bad == 0)
   }
+
+  test("q91 epoch shuffle: a permutation — every doc exactly once, " +
+      "positions contiguous per shard, order reproducible") {
+    val sh = LayoutOps.epochShuffle(spark, sf0001).cache()
+    val nDocs = Tables.documents(spark, sf0001).count()
+    assert(sh.count() == nDocs)
+    assert(sh.select($"doc_id").distinct().count() == nDocs)
+    assert(sh.where($"shard" < 0 ||
+      $"shard" >= LayoutOps.NShards).count() == 0)
+    // positions within each shard are exactly 1..n_shard
+    val bad = sh.groupBy($"shard")
+      .agg(count(lit(1)).as("n"), min($"pos").as("lo"),
+        max($"pos").as("hi"), countDistinct($"pos").as("nd"))
+      .where($"lo" =!= 1 || $"hi" =!= $"n" || $"nd" =!= $"n")
+    assert(bad.count() == 0)
+    // deterministic: a re-run reproduces the identical manifest
+    val again = LayoutOps.epochShuffle(spark, sf0001)
+    assert(sh.except(again).count() == 0 &&
+      again.except(sh).count() == 0)
+    // and the epoch order differs from plain doc_id order somewhere
+    // (the shuffle actually shuffles): within some shard, ascending
+    // pos must not be ascending doc_id
+    val disorder = sh.as[(Long, Long, Long)].collect()
+      .groupBy(_._2).values.exists { rows =>
+        val byPos = rows.sortBy(_._3).map(_._1).toSeq
+        byPos != byPos.sorted
+      }
+    assert(disorder, "epoch order degenerated to doc_id order")
+    sh.unpersist()
+  }
 }

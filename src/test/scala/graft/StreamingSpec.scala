@@ -153,6 +153,58 @@ class StreamingSpec extends SparkSpec {
     assert(st.nonEmpty)
   }
 
+  test("q90 streaming session windows equal batch gap-sessionization " +
+      "restricted to watermark-finalized sessions") {
+    import org.apache.spark.sql.functions._
+    val stream = StreamOps.streamSessionize(spark, sf0001)
+      .select($"ws", $"we", $"user_id", $"n_events", $"sum_value")
+    val maxTs = Tables.events(spark, sf0001)
+      .agg(max($"ts")).head().getTimestamp(0)
+    // batch q38 sessions: window = [session_start, session_end + gap);
+    // the stream finalizes exactly those whose end passed the watermark
+    val batch = StatsOps.sessionize(spark, sf0001)
+      .select($"session_start".as("ws"),
+        expr("session_end + INTERVAL 30 MINUTE").as("we"),
+        $"user_id", $"n_events", $"sum_value")
+      .where($"we" <= maxTs)
+    assert(stream.count() == batch.count() && stream.count() > 0)
+    assert(stream.except(batch).count() == 0)
+    assert(batch.except(stream).count() == 0)
+    // and the in-flight tail is real: at least one session not emitted
+    assert(StatsOps.sessionize(spark, sf0001).count() > batch.count())
+  }
+
+  test("q90 exact-gap events merge into ONE session (the probe-pinned " +
+      "touching-windows rule, aligned with q38's diff > gap boundary)") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sess").toString
+    val rows = Seq(
+      // user 1: events exactly 30 min apart -> ONE session
+      (1L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 1L, "click", 1.0, "{}"),
+      (2L, java.sql.Timestamp.valueOf("2024-01-01 00:30:00"), 1L, "click", 1.0, "{}"),
+      // user 2: 30 min + 1 us apart -> TWO sessions
+      (3L, java.sql.Timestamp.valueOf("2024-01-01 00:00:00"), 2L, "click", 1.0, "{}"),
+      (4L, new java.sql.Timestamp(
+        java.sql.Timestamp.valueOf("2024-01-01 00:30:00").getTime + 1L),
+        2L, "click", 1.0, "{}"),
+      // a late sentinel pushes the watermark far past everything above
+      (5L, java.sql.Timestamp.valueOf("2024-01-02 12:00:00"), 3L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.coalesce(1).write.mode("overwrite")
+      .parquet(s"$dir/staging")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val part = fs.globStatus(
+      new org.apache.hadoop.fs.Path(s"$dir/staging/part-*.parquet"))(0)
+    fs.rename(part.getPath,
+      new org.apache.hadoop.fs.Path(s"$dir/events.parquet"))
+    val sess = StreamOps.streamSessionize(spark, dir)
+      .select($"user_id", $"n_events").as[(Long, Long)].collect().toSeq
+      .sorted
+    assert(sess == Seq((1L, 2L), (2L, 1L), (2L, 1L)),
+      s"got $sess — exact-gap merge semantics drifted")
+  }
+
   test("multimodal decode stub is deterministic and schema-stable") {
     val a = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
     val b = graft.ops.MultimodalOps.mediaFeatures(spark, sf0001)
