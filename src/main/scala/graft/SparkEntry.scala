@@ -161,6 +161,7 @@ object SparkEntry {
         Some(StatsOps.cohortRetentionSql)),
       ("q95_source_similarity", CorpusOps.sourceSimilarity _,
         Some(CorpusOps.sourceSimilaritySql)),
+      ("q96_ann_pq", SimilarityOps.annPq _, Some(SimilarityOps.annPqSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

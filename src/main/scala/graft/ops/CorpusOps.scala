@@ -440,6 +440,20 @@ object CorpusOps {
     * O(sources·K) rows — and the rollup output is the ≤ C(sources,2)
     * matrix. */
   def sourceSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val (matrix, prof) = sourceSimilarityFrames(s, dir)
+    val checked = matrix.localCheckpoint(true)
+    prof.unpersist()
+    checked
+  }
+
+  /** (matrix, cached profile frame) pre-materialization — PlanSpec
+    * asserts on the matrix plan; [[sourceSimilarity]] owns the cache
+    * scope. */
+  /** The uncached top-K profile plan — PlanSpec pins its
+    * WindowGroupLimit shape here, where the window is still visible
+    * (a cached frame explains as an InMemoryTableScan). */
+  private[graft] def sourceSimilarityProfilePlan(
+      s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val tf = Tables.documents(s, dir)
       .select($"source",
@@ -448,10 +462,15 @@ object CorpusOps {
       .groupBy($"source", $"word").agg(count(lit(1)).as("tf"))
     val bySrc = Window.partitionBy($"source")
       .orderBy($"tf".desc, $"word")
-    val prof = tf.withColumn("rn", row_number().over(bySrc))
+    tf.withColumn("rn", row_number().over(bySrc))
       .where($"rn" <= SrcTermsK)
       .select($"source", $"word", $"tf")
-      .cache()
+  }
+
+  private[graft] def sourceSimilarityFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val prof = sourceSimilarityProfilePlan(s, dir).cache()
     // single-scan materialization: both sides of the pair join and
     // both norm lookups re-scan the profile frame
     prof.count()
@@ -468,9 +487,7 @@ object CorpusOps {
       .select($"src_a", $"src_b", $"dot",
         (($"dot".cast("double") * $"dot".cast("double")) /
           ($"sq_a".cast("double") * $"sq_b".cast("double"))).as("cos2"))
-    val checked = out.localCheckpoint(true)
-    prof.unpersist()
-    checked
+    (out, prof)
   }
 
   val sourceSimilaritySql: String =

@@ -1052,6 +1052,17 @@ object DedupOps {
     * all-pairs. The one float is a single division of exact integers.
     */
   def bigramContainment(s: SparkSession, dir: String): DataFrame = {
+    val (pairs, bg) = bigramContainmentFrames(s, dir)
+    val out = pairs.localCheckpoint(true)
+    bg.unpersist()
+    out
+  }
+
+  /** (pairs, cached bigram frame) pre-materialization — PlanSpec
+    * asserts on the pair plan; [[bigramContainment]] owns the cache
+    * scope. */
+  private[graft] def bigramContainmentFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     graft.functions.Functions.register(s)
     val bg = Tables.documents(s, dir)
@@ -1074,9 +1085,7 @@ object DedupOps {
         ($"n_inter".cast("double") /
           least($"n_a", $"n_b").cast("double")).as("containment"))
       .where($"containment" >= ContainmentThreshold)
-    val out = pairs.localCheckpoint(true)
-    bg.unpersist()
-    out
+    (pairs, bg)
   }
 
   val bigramContainmentSql: String =
@@ -1129,6 +1138,17 @@ object DedupOps {
     * engines.
     */
   def minhashEstError(s: SparkSession, dir: String): DataFrame = {
+    val (audit, sig) = minhashEstErrorFrames(s, dir)
+    val checked = audit.localCheckpoint(true)
+    sig.unpersist()
+    checked
+  }
+
+  /** (audit, cached signature frame) pre-materialization — PlanSpec
+    * asserts on the audit plan; [[minhashEstError]] owns the cache
+    * scope. */
+  private[graft] def minhashEstErrorFrames(
+      s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val minCols = (0 until nPerms).map(p =>
       $"sg.mins".getItem(p).as(s"m$p"))
@@ -1164,9 +1184,7 @@ object DedupOps {
       .withColumn("est", nEq.cast("double") / lit(nPerms.toDouble))
       .select($"doc_a", $"doc_b", $"jaccard", $"est",
         ($"est" - $"jaccard").as("err"))
-    val checked = out.localCheckpoint(true)
-    sig.unpersist()
-    checked
+    (out, sig)
   }
 
   val minhashEstErrorSql: String = {

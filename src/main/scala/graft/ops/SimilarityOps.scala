@@ -198,6 +198,182 @@ object SimilarityOps {
        |  FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.bucket = b.bucket
        |) WHERE rn <= 3""".stripMargin
 
+  /** Product-quantization geometry for q96: [[PqM]] subspaces of
+    * d/M dims each; the per-subspace codebook is the seed-centroid
+    * convention q51 uses for its coarse quantizer (the [[QuantizerK]]
+    * lowest vec_ids' subvectors — no float-sum training crosses the
+    * engine boundary). Memory story, the reason PQ exists: a 64-dim
+    * float vector is 256 bytes; its PQ code is M bytes (M codebook
+    * ids) — a 64× compression of the candidate-ranking structure, the
+    * difference between an embedding table that fits executor memory
+    * at 100 TB corpus scale and one that doesn't. */
+  val PqM = 4
+
+  /** q96 — IVF-PQ: q51's coarse buckets with candidate ranking by
+    * ASYMMETRIC DISTANCE (ADC) against product-quantized codes
+    * instead of exact cosine — the memory-bound scale path of the ANN
+    * family (Jégou et al., "Product Quantization for Nearest Neighbor
+    * Search", IEEE TPAMI 2011). Each vector stores only its [[PqM]]
+    * codebook ids; a query ranks candidates by
+    * `‖q − recon(code)‖²` where recon concatenates the coded
+    * centroids' subvectors. The decoded frame here materializes
+    * `recon` explicitly (the lookup-table form distributes the same
+    * arithmetic); `adc = ‖q‖² − 2·q·recon + ‖recon‖²` keeps every
+    * term a deterministic left-to-right [[graft.functions.VecDot]]
+    * fold, so the DuckDB twin is exact.
+    *
+    * Scale shape: codebooks and coarse centroids are ONE broadcast
+    * row (M·k·(d/M) floats); encoding is a per-row fold — ZERO
+    * shuffle to encode n vectors; the only exchanges are q51's
+    * same-bucket pair join. Output rows carry the code string so the
+    * compression is auditable. Ties rank by (adc, neighbor_id) —
+    * fully deterministic. */
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    graft.functions.Functions.register(s)
+    val k = QuantizerK
+    val subDim = 64 / PqM
+    val e = withNorm(Tables.embeddings(s, dir))
+    // one-row broadcast: coarse centroids AND per-subspace codebooks
+    val cents = e.where($"vec_id" < k)
+      .select(struct($"vec_id".as("cid"), $"embedding".as("cemb"),
+        $"nrm".as("cnrm")).as("c"))
+      .agg(array_sort(collect_list($"c")).as("cents"))
+    val books = e.where($"vec_id" < k)
+      .select(explode(expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  named_struct('m', m, 'cid', vec_id,
+           |    'sub', slice(embedding, m * $subDim + 1, $subDim)))"""
+          .stripMargin)).as("b"))
+      .agg(array_sort(collect_list($"b")).as("books"))
+    // encode + decode in one per-row pass: per subspace, the argmin-
+    // L2 codebook entry (strict < keeps the smallest cid on ties ≡
+    // the oracle's ROW_NUMBER ORDER BY dist, cid); recon is the
+    // concatenation of the chosen subvectors
+    val coded = e.join(broadcast(cents)).join(broadcast(books))
+      .withColumn("bucket", expr(
+        """aggregate(cents,
+          |  named_struct('bid', CAST(-1 AS BIGINT),
+          |               'bs', CAST('-Infinity' AS DOUBLE)),
+          |  (acc, c) -> IF(vec_dot(embedding, c.cemb) / (nrm * c.cnrm) > acc.bs,
+          |    named_struct('bid', c.cid,
+          |      'bs', vec_dot(embedding, c.cemb) / (nrm * c.cnrm)),
+          |    acc)).bid""".stripMargin))
+      .withColumn("chosen", expr(
+        s"""transform(sequence(0, ${PqM - 1}), m ->
+           |  aggregate(filter(books, b -> b.m = m),
+           |    named_struct('cid', CAST(-1 AS BIGINT),
+           |      'sub', CAST(array() AS array<float>),
+           |      'bd', CAST('Infinity' AS DOUBLE)),
+           |    (acc, b) -> IF(
+           |      vec_dot(slice(embedding, m * $subDim + 1, $subDim),
+           |              slice(embedding, m * $subDim + 1, $subDim))
+           |        - 2 * vec_dot(slice(embedding, m * $subDim + 1, $subDim),
+           |                      b.sub)
+           |        + vec_dot(b.sub, b.sub) < acc.bd,
+           |      named_struct('cid', b.cid, 'sub', b.sub,
+           |        'bd', vec_dot(slice(embedding, m * $subDim + 1, $subDim),
+           |                      slice(embedding, m * $subDim + 1, $subDim))
+           |          - 2 * vec_dot(slice(embedding, m * $subDim + 1, $subDim),
+           |                        b.sub)
+           |          + vec_dot(b.sub, b.sub)),
+           |      acc)))""".stripMargin))
+      .withColumn("codes",
+        expr("concat_ws(',', transform(chosen, c -> CAST(c.cid AS string)))"))
+      .withColumn("recon", expr("flatten(transform(chosen, c -> c.sub))"))
+      .drop("cents", "books", "chosen")
+    val a = coded.select($"vec_id", $"bucket", $"embedding".as("ea"))
+    val b = coded.select($"vec_id".as("neighbor_id"),
+      $"bucket".as("bb"), $"codes", $"recon".as("rb"),
+      expr("vec_dot(recon, recon)").as("rb2"))
+    val w = Window.partitionBy($"vec_id")
+      .orderBy($"adc_dist", $"neighbor_id")
+    a.join(b, $"vec_id" =!= $"neighbor_id" && $"bucket" === $"bb")
+      .withColumn("adc_dist",
+        dotCol("ea", "ea") - lit(2.0) * dotCol("ea", "rb") + $"rb2")
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .where($"rn" <= 3)
+      .select($"vec_id", $"bucket", $"neighbor_id", $"codes", $"rn",
+        $"adc_dist")
+  }
+
+  val annPqSql: String = {
+    val subDim = 64 / PqM
+    s"""WITH e AS (
+       |  SELECT vec_id, embedding,
+       |    sqrt(list_reduce(list_transform(embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)) AS nrm
+       |  FROM embeddings
+       |), c AS (
+       |  SELECT vec_id AS cid, embedding AS cemb, nrm AS cnrm
+       |  FROM e WHERE vec_id < $QuantizerK
+       |), asg AS (
+       |  SELECT vec_id, cid AS bucket FROM (
+       |    SELECT e.vec_id, c.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+       |        list_reduce(list_transform(list_zip(e.embedding, c.cemb),
+       |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |          (acc, x) -> acc + x) / (e.nrm * c.cnrm) DESC,
+       |        c.cid) AS r
+       |    FROM e CROSS JOIN c) WHERE r = 1
+       |), book AS (
+       |  SELECT m.m, c.cid,
+       |    c.cemb[m.m * $subDim + 1 : m.m * $subDim + $subDim] AS sub
+       |  FROM c, (SELECT unnest(range($PqM)) AS m) m
+       |), coded AS (
+       |  SELECT vec_id, m, cid, sub FROM (
+       |    SELECT e.vec_id, b.m, b.cid, b.sub,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, b.m ORDER BY
+       |        list_reduce(list_transform(
+       |          e.embedding[b.m * $subDim + 1 : b.m * $subDim + $subDim],
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |          (acc, x) -> acc + x)
+       |        - 2 * list_reduce(list_transform(list_zip(
+       |            e.embedding[b.m * $subDim + 1 : b.m * $subDim + $subDim],
+       |            b.sub),
+       |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |          (acc, x) -> acc + x)
+       |        + list_reduce(list_transform(b.sub,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |          (acc, x) -> acc + x),
+       |        b.cid) AS r
+       |    FROM e CROSS JOIN book b) WHERE r = 1
+       |), dec AS (
+       |  SELECT vec_id,
+       |    string_agg(CAST(cid AS VARCHAR), ',' ORDER BY m) AS codes,
+       |    flatten(list(sub ORDER BY m)) AS recon
+       |  FROM coded GROUP BY vec_id
+       |), v AS (
+       |  SELECT e.vec_id, e.embedding, asg.bucket, dec.codes, dec.recon
+       |  FROM e JOIN asg USING (vec_id) JOIN dec USING (vec_id)
+       |)
+       |SELECT vec_id, bucket, neighbor_id, codes, rn, adc_dist FROM (
+       |  SELECT a.vec_id, a.bucket, b.vec_id AS neighbor_id, b.codes,
+       |    list_reduce(list_transform(a.embedding,
+       |      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |      (acc, x) -> acc + x)
+       |    - 2 * list_reduce(list_transform(list_zip(a.embedding, b.recon),
+       |        t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |        (acc, x) -> acc + x)
+       |    + list_reduce(list_transform(b.recon,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |        (acc, x) -> acc + x) AS adc_dist,
+       |    ROW_NUMBER() OVER (PARTITION BY a.vec_id ORDER BY
+       |      list_reduce(list_transform(a.embedding,
+       |        x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |        (acc, x) -> acc + x)
+       |      - 2 * list_reduce(list_transform(list_zip(a.embedding, b.recon),
+       |          t -> CAST(t[1] AS DOUBLE) * CAST(t[2] AS DOUBLE)),
+       |          (acc, x) -> acc + x)
+       |      + list_reduce(list_transform(b.recon,
+       |          x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |          (acc, x) -> acc + x),
+       |      b.vec_id) AS rn
+       |  FROM v a JOIN v b ON a.vec_id <> b.vec_id AND a.bucket = b.bucket
+       |) WHERE rn <= 3""".stripMargin
+  }
+
   /** q55 — IVF search with multi-probe (nprobe = 2), the standard
     * recall lever real IVF deployments turn: DATA vectors live in
     * exactly their argmax bucket (q51's assignment), but each QUERY

@@ -294,25 +294,26 @@ object StatsOps {
     * sessionization and q83's funnel, both over the same events
     * stream).
     *
-    * Scale shape: the per-user first-day is ONE map-side-combinable
-    * min aggregate keyed by user_id; the (user, day) activity frame is
-    * a distinct on the same user-partitioned exchange, so Catalyst
-    * reuses one hash partitioning for both and the cohort join is
-    * co-partitioned (zero extra shuffle on the big side); the final
-    * rollup groups the already-tiny (cohort, offset, user) frame.
-    * Counts only — every value crossing the engine boundary is an
-    * exact integer or a date. */
+    * Scale shape: ONE corpus exchange — the per-user day SET is a
+    * map-side-combinable collect_set keyed by user_id (bounded by the
+    * calendar span, not event volume), and cohort day + offsets derive
+    * from it per row (array_min + explode, no join, no second scan of
+    * events). The final rollup needs no count-DISTINCT Expand: after
+    * the set explode a user contributes at most one row per (cohort,
+    * offset) cell, so count(*) IS the distinct-active count. The
+    * join+distinct formulation this replaces planned 2 scans and 4
+    * exchanges. Counts only — every value crossing the engine boundary
+    * is an exact integer or a date. */
   def cohortRetention(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val active = Tables.events(s, dir)
+    Tables.events(s, dir)
       .select($"user_id", to_date($"ts").as("day"))
-      .distinct()
-    val cohorts = active.groupBy($"user_id")
-      .agg(min($"day").as("cohort_day"))
-    active.join(cohorts, "user_id")
+      .groupBy($"user_id").agg(collect_set($"day").as("days"))
+      .select($"user_id", array_min($"days").as("cohort_day"),
+        explode($"days").as("day"))
       .groupBy($"cohort_day",
         datediff($"day", $"cohort_day").cast("long").as("day_offset"))
-      .agg(countDistinct($"user_id").as("n_active"))
+      .agg(count(lit(1)).as("n_active"))
   }
 
   val cohortRetentionSql: String =

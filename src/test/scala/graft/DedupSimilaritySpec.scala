@@ -491,6 +491,41 @@ class DedupSimilaritySpec extends SparkSpec {
     assigned.unpersist()
   }
 
+  test("q96 IVF-PQ: top-3 per vector by ADC, distances non-negative, " +
+      "and a SEED neighbor's code reconstructs itself exactly (ADC ≡ " +
+      "true squared L2)") {
+    val pq = SimilarityOps.annPq(spark, sf0001).cache()
+    assert(pq.count() > 0)
+    // shape: rn ∈ 1..3, ≤ 3 rows per vec, adc >= 0 (up to fp rounding)
+    assert(pq.where($"rn" < 1 || $"rn" > 3).count() == 0)
+    assert(pq.groupBy($"vec_id").count().where($"count" > 3).count() == 0)
+    assert(pq.where($"adc_dist" < -1e-9).count() == 0)
+    // codes: PqM comma-separated ids, each in [0, QuantizerK)
+    val codeOk = pq.select($"codes").as[String].collect().forall { c =>
+      val ids = c.split(",").map(_.toLong)
+      ids.length == SimilarityOps.PqM &&
+        ids.forall(i => i >= 0 && i < SimilarityOps.QuantizerK)
+    }
+    assert(codeOk)
+    // a seed vector (vec_id < K) IS a codebook entry in every
+    // subspace, so its own code reconstructs it exactly: for pairs
+    // whose NEIGHBOR is a seed, ADC must equal the true ||a - b||²
+    val e = Tables.embeddings(spark, sf0001)
+      .select($"vec_id".as("neighbor_id"), $"embedding".as("eb"))
+    val seedPairs = pq.where($"neighbor_id" < SimilarityOps.QuantizerK)
+      .join(e, "neighbor_id")
+      .join(Tables.embeddings(spark, sf0001)
+        .select($"vec_id", $"embedding".as("ea")), "vec_id")
+      .withColumn("true_l2",
+        expr("vec_dot(ea, ea) - 2 * vec_dot(ea, eb) + vec_dot(eb, eb)"))
+      .select($"adc_dist", $"true_l2").as[(Double, Double)].collect()
+    assert(seedPairs.nonEmpty, "buckets must surface some seed neighbor")
+    seedPairs.foreach { case (adc, l2) =>
+      assert(math.abs(adc - l2) < 1e-9, s"ADC $adc != true L2 $l2")
+    }
+    pq.unpersist()
+  }
+
   test("q92 containment: bounds, ordering, and containment >= the " +
       "same pair's symmetric jaccard") {
     val c = DedupOps.bigramContainment(spark, sf0001).cache()

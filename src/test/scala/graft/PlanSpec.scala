@@ -243,4 +243,63 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("n_chars"))
   }
 
+  test("q91: epoch shuffle windows BY SHARD — no single-partition " +
+      "global sort, and the one exchange carries no text") {
+    val plan = formatted(graft.ops.LayoutOps.epochShuffle(spark, sf0001))
+    // a global ORDER BY rand()-style plan would print SinglePartition
+    assert(!plan.contains("SinglePartition"))
+    assert("Exchange ".r.findAllIn(plan).length <= 1)
+    assert(!plan.contains("text#"), "shuffle must not carry document text")
+  }
+
+  test("q95: the pair stage is an equi-join over the cached profile — " +
+      "never a nested loop — and the profile plan bounds its window") {
+    val (matrix, prof) =
+      graft.ops.CorpusOps.sourceSimilarityFrames(spark, sf0001)
+    val plan = formatted(matrix)
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"))
+    // the top-K profile cut plans as a bounded window, not a full sort
+    val profPlan = formatted(
+      graft.ops.CorpusOps.sourceSimilarityProfilePlan(spark, sf0001))
+    assert(profPlan.contains("WindowGroupLimit"))
+    prof.unpersist()
+  }
+
+  test("q96: PQ encode/decode is broadcast-only (codebooks join with " +
+      "no exchange) and candidates stay an equi-join on the bucket") {
+    val plan = formatted(graft.ops.SimilarityOps.annPq(spark, sf0001))
+    assert(plan.contains("BroadcastExchange") ||
+      plan.contains("BroadcastNestedLoopJoin"))
+    assert(!plan.contains("CartesianProduct"))
+    // the pair stage must join on bucket equality, never a pure
+    // theta-join pair scan of the corpus against itself
+    assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+  }
+
+  test("q92/q93: containment and the minhash audit generate candidates " +
+      "from equi-joins — no nested-loop pair scan anywhere") {
+    val (cPairs, bg) =
+      graft.ops.DedupOps.bigramContainmentFrames(spark, sf0001)
+    val (audit, sig) =
+      graft.ops.DedupOps.minhashEstErrorFrames(spark, sf0001)
+    for (df <- Seq(cPairs, audit)) {
+      val plan = formatted(df)
+      assert(plan.contains("SortMergeJoin") || plan.contains("HashJoin"))
+      assert(!plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoopJoin"))
+    }
+    bg.unpersist(); sig.unpersist()
+  }
+
+  test("q94: retention is ONE user-keyed corpus exchange + the rollup " +
+      "hop — single events scan, no join, no count-distinct Expand") {
+    val plan = formatted(graft.ops.StatsOps.cohortRetention(spark, sf0001))
+    // nodes print twice in formatted mode (tree line + detail header)
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, "one scan")
+    assert("Exchange ".r.findAllIn(plan).length <= 4, "two exchanges")
+    assert(!plan.contains("Expand") && !plan.contains("Join"))
+  }
+
 }
