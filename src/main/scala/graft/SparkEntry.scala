@@ -162,6 +162,10 @@ object SparkEntry {
       ("q95_source_similarity", CorpusOps.sourceSimilarity _,
         Some(CorpusOps.sourceSimilaritySql)),
       ("q96_ann_pq", SimilarityOps.annPq _, Some(SimilarityOps.annPqSql)),
+      ("q97_source_sample", CorpusOps.sourceSample _,
+        Some(CorpusOps.sourceSampleSql)),
+      ("q98_stateful_v2_aggs", StreamOps.statefulUserAggs _,
+        Some(StreamOps.statefulUserAggsSql)),
     )
 
   /** One per implemented operator from SURVEY.md §2. */

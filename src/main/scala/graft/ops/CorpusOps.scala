@@ -414,6 +414,44 @@ object CorpusOps {
        |    / CAST(sum(n) AS DOUBLE) AS dup_rate
        |FROM dg JOIN gdf USING (gram) GROUP BY 1""".stripMargin
 
+  /** q97 sample size per source. */
+  val SampleK = 5
+
+  /** q97 — deterministic inspection sample: per source, [[SampleK]]
+    * documents drawn uniformly WITHOUT replacement by ordering on
+    * `md5(doc_id)` (the q65/q76 content-derived order convention) —
+    * the human-eval / release-QA sample every corpus pipeline ships
+    * alongside its stats. Unlike `TABLESAMPLE`/`rand()`, the draw is
+    * reproducible across engines, partitionings and reruns, and
+    * stratified exactly (exactly K per source, not K in expectation).
+    *
+    * Scale shape: one source-keyed exchange; the rank cut plans as
+    * WindowGroupLimit (partial top-K below the exchange), so the
+    * shuffle carries at most K rows per source per map task — never
+    * the corpus. Text is NOT carried through the shuffle; the sample
+    * joins back to the corpus by doc_id only if a consumer wants
+    * bodies. */
+  def sourceSample(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val bySrc = Window.partitionBy($"source")
+      .orderBy($"ord", $"doc_id")
+    Tables.documents(s, dir)
+      .select($"source", $"doc_id", $"lang",
+        md5($"doc_id".cast("string")).as("ord"))
+      .withColumn("rank", row_number().over(bySrc).cast("long"))
+      .where($"rank" <= SampleK)
+      .select($"source", $"rank", $"doc_id", $"lang")
+  }
+
+  val sourceSampleSql: String =
+    s"""SELECT source, rank, doc_id, lang FROM (
+       |  SELECT source, doc_id, lang,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+       |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS BIGINT)
+       |      AS rank
+       |  FROM documents)
+       |WHERE rank <= $SampleK""".stripMargin
+
   /** Per-source term-profile length for q95 — each source is
     * represented by its top-K terms by total tf (word as tiebreak),
     * so the pair stage is O(sources² · K) no matter how large the

@@ -266,6 +266,79 @@ object StreamOps {
     """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
       |FROM events GROUP BY user_id""".stripMargin
 
+  /** Per-user running (event count, exact cents sum) for q98 — the
+    * modern `transformWithState` StatefulProcessor (Spark 4.x's
+    * replacement for flatMapGroupsWithState, SURVEY.md §2.9): typed
+    * ValueState on the RocksDB state-store provider, no timers. The
+    * sum is carried as EXACT integer cents (decimal(12,2)·100 cast
+    * long before the processor), so unlike q64 the money sum is
+    * micro-batch-order-free and can join the oracle contract; the
+    * single division to euros happens at the output edge. */
+  private final class UserAggProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, Long), UserCount] {
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoder, Encoders}
+    @transient private var st: ValueState[(Long, Long)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit = {
+      implicit val enc: Encoder[(Long, Long)] =
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)
+      st = getHandle.getValueState[(Long, Long)]("agg", enc, TTLConfig.NONE)
+    }
+    override def handleInputRows(key: Long, rows: Iterator[(Long, Long)],
+        timers: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[UserCount] = {
+      var (n, cents) = if (st.exists()) st.get() else (0L, 0L)
+      rows.foreach { case (_, c) => n += 1; cents += c }
+      st.update((n, cents))
+      Iterator.single(UserCount(key, n, cents.toDouble / 100.0))
+    }
+  }
+
+  /** q98 — [[UserAggProcessor]] as a driver-checkable query: per-user
+    * event counts AND exact money sums from transformWithState state.
+    * Completes the streaming-state coverage with the arbitrary-state
+    * API Spark 4 ships for new pipelines (q64 keeps the legacy
+    * flatMapGroupsWithState path alive); RocksDB provider is set for
+    * the query and restored after — on a cluster this store is the
+    * one that spills state to disk instead of executor heap, which
+    * is what makes O(users) state viable at corpus scale. Update-mode
+    * emissions append one row per (micro-batch, user); the latest per
+    * user (max n_events) is the final state, the q64 convention. */
+  def statefulUserAggs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.streaming.{OutputMode, TimeMode}
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val stream = eventsStream(s, dir)
+        .select($"user_id",
+          (dec2($"value") * 100).cast("long").as("cents"))
+        .as[(Long, Long)]
+      val updated = stream.groupByKey(_._1)
+        .transformWithState(new UserAggProcessor,
+          TimeMode.None(), OutputMode.Update())
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"user_id").orderBy($"n_events".desc)
+      drainToTable(s, updated.toDF(), "graft_tws_aggs", "update")
+        .withColumn("rn", row_number().over(w))
+        .where($"rn" === 1).drop("rn")
+    } finally {
+      prev match {
+        case Some(v) => s.conf.set(key, v)
+        case None => s.conf.unset(key)
+      }
+    }
+  }
+
+  val statefulUserAggsSql: String =
+    """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |       AS DOUBLE) / 100.0 AS sum_value
+      |FROM events GROUP BY user_id""".stripMargin
+
   /** Streaming first-seen dedup (D1/D2 as a continuous query,
     * SURVEY.md §2.9): watermarked dropDuplicates on the key columns.
     * State is bounded by the watermark horizon. Exercised by the

@@ -306,6 +306,34 @@ class CorpusOpsSpec extends SparkSpec {
     r.unpersist()
   }
 
+  // ---------------------------------------------------------------- q97
+
+  test("q97 source sample: exactly K per source (or all of a smaller " +
+      "source), ranks contiguous, deterministic, and not id-ordered") {
+    val smp = CorpusOps.sourceSample(spark, sf0001).cache()
+    val perSrc = Tables.documents(spark, sf0001)
+      .groupBy($"source").agg(count(lit(1)).as("n"))
+    val bad = smp.groupBy($"source")
+      .agg(count(lit(1)).as("k"), max($"rank").as("mx"),
+        min($"rank").as("mn"))
+      .join(perSrc, "source")
+      .where($"k" =!= least($"n", lit(CorpusOps.SampleK.toLong)) ||
+        $"mn" =!= 1 || $"mx" =!= $"k")
+    assert(bad.count() == 0)
+    // reproducible draw
+    val again = CorpusOps.sourceSample(spark, sf0001)
+    assert(smp.except(again).count() == 0 && again.except(smp).count() == 0)
+    // the sample is md5-ordered, not doc_id-ordered: somewhere rank
+    // order must disagree with ascending doc_id
+    val disorder = smp.as[(String, Long, Long, String)].collect()
+      .groupBy(_._1).values.exists { rows =>
+        val ids = rows.sortBy(_._2).map(_._3).toSeq
+        ids != ids.sorted
+      }
+    assert(disorder, "sample degenerated to doc_id order")
+    smp.unpersist()
+  }
+
   // ---------------------------------------------------------------- q95
 
   test("q95 source similarity: full upper triangle, cos² bounds, and " +

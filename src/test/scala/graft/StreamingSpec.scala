@@ -153,6 +153,25 @@ class StreamingSpec extends SparkSpec {
     assert(st.nonEmpty)
   }
 
+  test("q98 transformWithState aggs equal batch count AND exact-cents " +
+      "money sum, and the RocksDB provider conf is restored after") {
+    import org.apache.spark.sql.functions._
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val before = spark.conf.getOption(key)
+    val got = StreamOps.statefulUserAggs(spark, sf0001)
+      .select($"user_id", $"n_events", $"sum_value")
+    val batch = Tables.events(spark, sf0001)
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"),
+        (sum((expr("CAST(value AS DECIMAL(12,2))") * 100).cast("long"))
+          .cast("double") / 100.0).as("sum_value"))
+    assert(got.count() == batch.count() && got.count() > 0)
+    assert(got.except(batch).count() == 0)
+    assert(batch.except(got).count() == 0)
+    assert(spark.conf.getOption(key) == before,
+      "state-store provider conf must be restored")
+  }
+
   test("q90 streaming session windows equal batch gap-sessionization " +
       "restricted to watermark-finalized sessions") {
     import org.apache.spark.sql.functions._
