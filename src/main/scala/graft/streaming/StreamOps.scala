@@ -207,6 +207,65 @@ object StreamOps {
       |  FROM events e WHERE e.event_type = 'error'
       |) WHERE n_recent_clicks > 0""".stripMargin
 
+  /** q99 — LEFT OUTER stream-stream interval join: q59's shape with
+    * the unmatched side kept. Outer stream-stream joins exercise the
+    * state path inner joins never touch — an unmatched left row is
+    * emitted (click side null) only when the watermark PROVES no
+    * future click can match it. Two subtleties, both MEASURED against
+    * boundary rows rather than assumed: (1) the global watermark is
+    * the MIN across the two stream inputs — each withWatermark node
+    * tracks ITS OWN max event time (errors-only / clicks-only, the
+    * nodes sit above the type filters), so
+    * `wm = min(max_err, max_click) − 2 h` (the sf0.001 corpus, whose
+    * last error sits hours before its last click, separates this
+    * from the global max); (2) an error is provably unmatchable as
+    * soon as its window TOP falls at or below the watermark — future
+    * clicks arrive with ts_click ≥ wm, a match needs
+    * ts_click < ts_err, so eviction is `ts_err ≤ wm`, NOT
+    * `ts_err + 2 h ≤ wm` (the sf0.01 boundary row separates the
+    * two). Contract: errors WITH preceding clicks appear always
+    * (eager inner emissions); zero-count errors appear iff
+    * `ts_err ≤ min(max_err, max_click) − 2 h`; tail errors emit
+    * nothing yet. That row-set difference IS the outer-join
+    * watermark semantics, locked the same way q60 locks window
+    * finalization and q90 session finalization. */
+  def streamIntervalJoinOuter(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val errors = eventsStream(s, dir)
+      .where($"event_type" === "error")
+      .select($"event_id", $"user_id".as("u_err"), $"ts".as("ts_err"))
+      .withWatermark("ts_err", "2 hours")
+    val clicks = eventsStream(s, dir)
+      .where($"event_type" === "click")
+      .select($"user_id".as("u_click"), $"ts".as("ts_click"))
+      .withWatermark("ts_click", "2 hours")
+    val pairs = errors.join(clicks,
+      $"u_err" === $"u_click" &&
+        $"ts_click" >= $"ts_err" - expr("INTERVAL 2 HOURS") &&
+        $"ts_click" < $"ts_err",
+      "left_outer")
+    drainToTable(s, pairs, "graft_stream_ojoin", "append")
+      .groupBy($"event_id", $"u_err".as("user_id"))
+      .agg(count($"ts_click").as("n_recent_clicks"))
+  }
+
+  val streamIntervalJoinOuterSql: String =
+    """SELECT event_id, user_id, n_recent_clicks FROM (
+      |  SELECT e.event_id, e.user_id, e.ts,
+      |    (SELECT COUNT(*) FROM events c
+      |     WHERE c.event_type = 'click' AND c.user_id = e.user_id
+      |       AND epoch_us(c.ts) >= epoch_us(e.ts) - CAST(7200000000 AS BIGINT)
+      |       AND epoch_us(c.ts) < epoch_us(e.ts)) AS n_recent_clicks
+      |  FROM events e WHERE e.event_type = 'error'
+      |) WHERE n_recent_clicks > 0
+      |   OR epoch_us(ts) + CAST(7200000000 AS BIGINT)
+      |      <= (SELECT least(
+      |            max(CASE WHEN event_type = 'error'
+      |                THEN epoch_us(ts) END),
+      |            max(CASE WHEN event_type = 'click'
+      |                THEN epoch_us(ts) END))
+      |          FROM events)""".stripMargin
+
   /** Per-user running state for [[statefulUserCounts]]. */
   final case class UserState(n: Long, total: Double)
   final case class UserCount(user_id: Long, n_events: Long,

@@ -153,6 +153,37 @@ class StreamingSpec extends SparkSpec {
     assert(st.nonEmpty)
   }
 
+  test("q99 outer interval join ⊇ inner q59 on matched rows; zero-" +
+      "count rows appear exactly at/below the per-input-min watermark") {
+    import org.apache.spark.sql.functions._
+    val outer = StreamOps.streamIntervalJoinOuter(spark, sf0001).cache()
+    val inner = StreamOps.streamIntervalJoinCounts(spark, sf0001).cache()
+    // matched rows agree exactly with the inner join
+    assert(outer.where($"n_recent_clicks" > 0).except(inner).count() == 0)
+    assert(inner.except(outer.where($"n_recent_clicks" > 0)).count() == 0)
+    // zero-count (null-emitted) rows: exactly the no-click errors at
+    // or below the per-input-min watermark (min(max_err, max_click)
+    // - the 2h allowed lateness); the window top ts_err is exclusive,
+    // so eviction needs only ts_err <= wm, not ts_err + 2h <= wm
+    val zeros = outer.where($"n_recent_clicks" === 0)
+      .select($"event_id")
+    assert(zeros.count() > 0, "outer join must surface unmatched errors")
+    val ev = Tables.events(spark, sf0001)
+    val horizon = ev.agg((least(
+      max(when($"event_type" === "error", unix_micros($"ts"))),
+      max(when($"event_type" === "click", unix_micros($"ts"))))
+      - 7200000000L).as("h"))
+    val expected = ev.where($"event_type" === "error")
+      .join(inner.select($"event_id"), Seq("event_id"), "left_anti")
+      .crossJoin(horizon)
+      .where(unix_micros($"ts") <= $"h")
+      .select($"event_id")
+    assert(zeros.except(expected).count() == 0 &&
+      expected.except(zeros).count() == 0,
+      "zero-count rows must equal the horizon-filtered no-click errors")
+    outer.unpersist(); inner.unpersist()
+  }
+
   test("q98 transformWithState aggs equal batch count AND exact-cents " +
       "money sum, and the RocksDB provider conf is restored after") {
     import org.apache.spark.sql.functions._
