@@ -74,7 +74,19 @@ object SoakProbe {
       ("q82_term_lift", graft.ops.CorpusOps.termLift _),
       ("q85_char_diversity", graft.ops.CorpusOps.charDiversity _),
       ("q86_dup_ngram_rate", graft.ops.CorpusOps.dupNgramRate _),
-      ("q88_quality_gate", graft.ops.CorpusOps.qualityGate _))
+      ("q88_quality_gate", graft.ops.CorpusOps.qualityGate _),
+      // round-12 third batch. Expected slopes under Caesar-rotated
+      // replication (disjoint per-replica vocabularies): q92
+      // containment and q93 audit pairs stay per-replica (gram/band
+      // equality never crosses replicas) → candidates k×, same family
+      // as q23/q21; q91 is map + shard-window → rows k×, flat
+      // structure; q95 source profiles absorb k rotated vocabularies
+      // until SrcTermsK binds — the CAP is what holds the pair stage
+      // flat, which is exactly the bound worth soaking.
+      ("q91_epoch_shuffle", graft.ops.LayoutOps.epochShuffle _),
+      ("q92_containment", graft.ops.DedupOps.bigramContainment _),
+      ("q93_minhash_est_error", graft.ops.DedupOps.minhashEstError _),
+      ("q95_source_similarity", graft.ops.CorpusOps.sourceSimilarity _))
 
     // The IVF nlist scaling rule, measured: fixed k holds per-bucket
     // size growing with the corpus (in-bucket pair work ~ n²/k →
