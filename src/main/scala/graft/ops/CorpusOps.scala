@@ -558,4 +558,179 @@ object CorpusOps {
        |FROM dots d
        |JOIN norms na ON na.source = d.src_a
        |JOIN norms nb ON nb.source = d.src_b""".stripMargin
+
+  /** q100 duplicated-window width in tokens. The window is the match
+    * UNIT, not the minimum span — merged spans grow arbitrarily long.
+    * Smaller than ExactSubstr's 50 bytes because the synthetic corpus
+    * is short-doc; the merge logic is width-independent. */
+  val DupSpanW = 8
+
+  /** q100 — exact duplicated-passage SPANS, the actionable output of
+    * substring-level dedup (Lee et al., "Deduplicating Training Data
+    * Makes Language Models Better": remove the repeated substring
+    * itself, not the whole document). q86 measures HOW MUCH of a doc
+    * is duplicated; this query says WHERE — per document, the maximal
+    * token ranges covered by [[DupSpanW]]-token windows that occur
+    * more than once anywhere in the corpus (across docs or repeated
+    * within one). Downstream trimming consumes these (doc_id,
+    * span_start, span_end) rows directly.
+    *
+    * Windows are positional: (doc, pos, gram) for every token offset.
+    * A window is duplicated iff its gram's global instance count ≥ 2.
+    * Overlapping/adjacent duplicated windows merge into maximal spans
+    * via gaps-and-islands: a window starts a new island iff its start
+    * exceeds the running max end of all earlier windows + 1.
+    *
+    * Scale shape: ONE corpus scan + tokenize pass (the dominant cost —
+    * the duplicated-window test is a count-over-gram-partition WINDOW,
+    * not an agg + self-join that would tokenize the corpus twice),
+    * one gram-hash exchange, then ONE doc_id exchange shared by both
+    * island windows and the span rollup (doc_id partitioning satisfies
+    * the (doc_id, island) clustering ⇒ Catalyst plans no third
+    * exchange; PlanSpec pins all of this). The running-max window is
+    * O(1) state per row. At 100 TB the gram through the exchange would
+    * be `xxhash64(gram)` (8 bytes); kept raw here because the oracle
+    * must hash identically and DuckDB has no xxhash64. */
+  def dupSpans(s: SparkSession, dir: String): DataFrame =
+    dupSpansOf(Tables.documents(s, dir))
+
+  private[graft] def dupSpansOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val W = DupSpanW
+    val toks = docs
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z]+"), w => w =!= "").as("toks"))
+      .where(size($"toks") >= W)
+    val wins = toks.select($"doc_id",
+      explode(transform(
+        sequence(lit(0), size($"toks") - W),
+        i => struct((i + 1).cast("long").as("pos"),
+          concat_ws(" ", slice($"toks", i + 1, lit(W))).as("gram"))))
+        .as("w"))
+      .select($"doc_id", $"w.pos", $"w.gram")
+    val byPos = Window.partitionBy($"doc_id").orderBy($"pos")
+    val dup = wins
+      .withColumn("n", count(lit(1)).over(Window.partitionBy($"gram")))
+      .where($"n" >= 2).select($"doc_id", $"pos")
+      .withColumn("prev_end",
+        max($"pos" + (W - 1)).over(
+          byPos.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("fresh",
+        when($"prev_end".isNull || $"pos" > $"prev_end" + 1, 1L).otherwise(0L))
+      .withColumn("island",
+        sum($"fresh").over(
+          byPos.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    dup.groupBy($"doc_id", $"island")
+      .agg(min($"pos").as("span_start"),
+        (max($"pos") + (W - 1)).as("span_end"),
+        (max($"pos") - min($"pos") + W).as("span_tokens"))
+      .select($"doc_id", $"span_start", $"span_end", $"span_tokens")
+  }
+
+  val dupSpansSql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents
+       |), w AS (
+       |  SELECT doc_id, CAST(i + 1 AS BIGINT) AS pos,
+       |    array_to_string(toks[(i+1):(i+$DupSpanW)], ' ') AS gram
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(len(toks) - ${DupSpanW - 1})) AS i
+       |        FROM d WHERE len(toks) >= $DupSpanW)
+       |), g AS (
+       |  SELECT gram FROM w GROUP BY gram HAVING count(*) >= 2
+       |), dup AS (
+       |  SELECT doc_id, pos,
+       |    max(pos + ${DupSpanW - 1}) OVER (PARTITION BY doc_id ORDER BY pos
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_end
+       |  FROM w JOIN g USING (gram)
+       |), isl AS (
+       |  SELECT doc_id, pos,
+       |    sum(CASE WHEN prev_end IS NULL OR pos > prev_end + 1
+       |             THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY pos
+       |        ROWS UNBOUNDED PRECEDING) AS island
+       |  FROM dup
+       |)
+       |SELECT doc_id,
+       |  CAST(min(pos) AS BIGINT) AS span_start,
+       |  CAST(max(pos) + ${DupSpanW - 1} AS BIGINT) AS span_end,
+       |  CAST(max(pos) - min(pos) + $DupSpanW AS BIGINT) AS span_tokens
+       |FROM isl GROUP BY doc_id, island""".stripMargin
+
+  /** q103 — n-gram NOVELTY by ingest order: per document, the fraction
+    * of its word-[[DupNgramN]]-gram instances whose gram first occurs
+    * in THIS document (global first occurrence = min doc_id, the
+    * ingest-order proxy the driver data encodes). The directional
+    * complement of q86: q86 charges BOTH copies of a duplicated gram,
+    * novelty charges only the laggard — it is the signal an
+    * ingest-ordered pipeline uses to answer "how much NEW text did
+    * this batch contribute" and to trim re-crawls (the doc-level
+    * analogue of what q77's incremental labels do for near-dup sets).
+    *
+    * Scale shape: ONE corpus scan + tokenize pass (vs. the naive
+    * agg-then-self-join that tokenizes twice): the (doc, gram)
+    * instance-count exchange is map-side combinable, first-occurrence
+    * attribution is a `min(doc_id)` WINDOW over the gram partition of
+    * the already-reduced (doc, gram, n) frame, and the doc rollup is
+    * the third, equally reduced exchange carrying two exact BIGINT
+    * sums; `novelty_rate` is the single terminal IEEE division. In a
+    * streaming deployment first-occurrence state lives in the
+    * q80-style watermarked store; here min(doc_id) is its batch
+    * closure. */
+  def gramNovelty(s: SparkSession, dir: String): DataFrame =
+    gramNoveltyOf(Tables.documents(s, dir))
+
+  private[graft] def gramNoveltyOf(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val toks = docs
+      .select($"doc_id",
+        filter(split(lower($"text"), "[^a-z]+"), w => w =!= "").as("toks"))
+      .where(size($"toks") >= DupNgramN)
+    val grams = toks.select($"doc_id",
+      explode(transform(
+        sequence(lit(0), size($"toks") - DupNgramN),
+        i => concat_ws(" ", slice($"toks", i + 1, lit(DupNgramN)))))
+        .as("gram"))
+    val dg = grams.groupBy($"doc_id", $"gram").agg(count(lit(1)).as("n"))
+    dg.withColumn("first_doc",
+        min($"doc_id").over(Window.partitionBy($"gram")))
+      .groupBy($"doc_id")
+      .agg(sum($"n").as("n_grams"),
+        sum(when($"first_doc" === $"doc_id", $"n").otherwise(0L))
+          .as("n_novel"))
+      .withColumn("novelty_rate",
+        $"n_novel".cast("double") / $"n_grams".cast("double"))
+  }
+
+  val gramNoveltySql: String =
+    s"""WITH d AS (
+       |  SELECT doc_id,
+       |    list_filter(string_split_regex(lower(text), '[^a-z]+'),
+       |                x -> x <> '') AS toks
+       |  FROM documents
+       |), g AS (
+       |  SELECT doc_id,
+       |    array_to_string(toks[(i+1):(i+$DupNgramN)], ' ') AS gram
+       |  FROM (SELECT doc_id, toks,
+       |          unnest(range(len(toks) - ${DupNgramN - 1})) AS i
+       |        FROM d WHERE len(toks) >= $DupNgramN)
+       |), dg AS (
+       |  SELECT doc_id, gram, CAST(count(*) AS BIGINT) AS n
+       |  FROM g GROUP BY 1, 2
+       |), f AS (
+       |  SELECT gram, min(doc_id) AS first_doc FROM dg GROUP BY 1
+       |)
+       |SELECT dg.doc_id,
+       |  CAST(sum(n) AS BIGINT) AS n_grams,
+       |  CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN n ELSE 0 END)
+       |    AS BIGINT) AS n_novel,
+       |  CAST(sum(CASE WHEN f.first_doc = dg.doc_id THEN n ELSE 0 END)
+       |      AS DOUBLE)
+       |    / CAST(sum(n) AS DOUBLE) AS novelty_rate
+       |FROM dg JOIN f USING (gram) GROUP BY 1""".stripMargin
 }

@@ -390,4 +390,79 @@ class CorpusOpsSpec extends SparkSpec {
     assert(profSizes.forall(_._2 <= CorpusOps.SrcTermsK))
     assert(over.count() > 0)
   }
+
+  // ---------------------------------------------------------------- q100
+
+  test("q100 dup spans: planted passages produce exact merged spans; " +
+      "unique text produces none; within-doc repeats split on the gap") {
+    // 10 shared tokens — the [a-z]+ tokenizer keeps them whole
+    val passage = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val docs = Seq(
+      (1L, s"one two $passage three four"),      // passage at pos 3..12
+      (2L, s"$passage five six seven eight"),    // passage at pos 1..10
+      (3L, "plainly unique words that never repeat anywhere in this corpus"),
+      (4L, s"$passage filler $passage"))         // copies at 1..10 and 12..21
+      .toDF("doc_id", "text")
+    val got = CorpusOps.dupSpansOf(docs)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(got == Set(
+      (1L, 3L, 12L, 10L),
+      (2L, 1L, 10L, 10L),
+      (4L, 1L, 10L, 10L), (4L, 12L, 21L, 10L)))
+  }
+
+  test("q100 spans at sf0.001: disjoint with a real gap, arithmetic " +
+      "consistent, never narrower than the window") {
+    val spans = CorpusOps.dupSpans(spark, sf0001)
+      .orderBy($"doc_id", $"span_start")
+      .as[(Long, Long, Long, Long)].collect()
+    assert(spans.nonEmpty)
+    spans.foreach { case (_, s, e, n) =>
+      assert(n == e - s + 1)
+      assert(n >= CorpusOps.DupSpanW)
+    }
+    spans.toSeq.groupBy(_._1).values.foreach { perDoc =>
+      perDoc.sliding(2).foreach {
+        case Seq((_, _, e1, _), (_, s2, _, _)) =>
+          // maximal merge: consecutive spans are separated by >= 1
+          // uncovered token, else they would be one island
+          assert(s2 > e1 + 1, s"overlapping/adjacent spans: $perDoc")
+        case _ =>
+      }
+    }
+  }
+
+  // ---------------------------------------------------------------- q103
+
+  test("q103 novelty: a verbatim re-crawl scores 0, its original 1") {
+    val t = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq((10L, t), (20L, t),
+      (30L, "plainly unique words appearing nowhere else at all"))
+      .toDF("doc_id", "text")
+    val got = CorpusOps.gramNoveltyOf(docs)
+      .select($"doc_id", $"novelty_rate").as[(Long, Double)]
+      .collect().toMap
+    assert(got(10L) == 1.0)
+    assert(got(20L) == 0.0)
+    assert(got(30L) == 1.0)
+  }
+
+  test("q103 at sf0.001: rates bounded, gram mass identical to q86, " +
+      "novel mass equals first-doc attribution") {
+    val nov = CorpusOps.gramNovelty(spark, sf0001).cache()
+    assert(nov.where($"novelty_rate" < 0.0 || $"novelty_rate" > 1.0 ||
+      $"n_novel" > $"n_grams").count() == 0)
+    // same tokenizer + same N ⇒ per-doc instance mass must agree with
+    // q86's n_grams column exactly (cross-operator consistency)
+    val q86 = CorpusOps.dupNgramRate(spark, sf0001)
+      .select($"doc_id", $"n_grams".as("g86"))
+    assert(nov.join(q86, "doc_id")
+      .where($"n_grams" =!= $"g86").count() == 0)
+    // every gram's instances in its FIRST doc are novel by definition:
+    // corpus-wide novel mass > 0 and < total mass (sf0.001 has dups)
+    val (tot, novl) = nov
+      .agg(sum($"n_grams"), sum($"n_novel")).as[(Long, Long)].head()
+    assert(novl > 0 && novl < tot)
+    nov.unpersist()
+  }
 }

@@ -302,4 +302,82 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("Expand") && !plan.contains("Join"))
   }
 
+  test("q100: dup spans tokenize the corpus ONCE — window-count dup " +
+      "test, and the island windows + span rollup share one doc exchange") {
+    val plan = formatted(graft.ops.CorpusOps.dupSpans(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, "one scan")
+    // gram exchange + doc exchange only; the (doc, island) rollup must
+    // ride the doc_id partitioning, not add a third
+    assert("Exchange ".r.findAllIn(plan).length <= 4, "two exchanges")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q103: novelty tokenizes ONCE; first-occurrence is a window over " +
+      "the reduced (doc, gram) frame, not a second corpus pass") {
+    val plan = formatted(graft.ops.CorpusOps.gramNovelty(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, "one scan")
+    assert(!plan.contains("Join"))
+  }
+
+  test("q101: snapshot diff hashes map-side — no Exchange carries the " +
+      "text column, and the diff is one full-outer SMJ") {
+    val df = graft.ops.MaintenanceOps.snapshotDiff(spark, sf0001)
+    val plan = formatted(df)
+    assert(plan.contains("SortMergeJoin FullOuter") ||
+      plan.contains("ShuffledHashJoin FullOuter"))
+    // formatted lists each Exchange's output columns in its detail
+    // block; md5 must be computed below the exchange so no shuffled
+    // attribute is the raw text
+    val exchangeOutputs = "\\(\\d+\\) Exchange\\n(Input \\[[^\\]]*\\])".r
+      .findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchangeOutputs.nonEmpty)
+    exchangeOutputs.foreach(cols =>
+      assert(!cols.contains("text"), s"text shuffled: $cols"))
+  }
+
+  test("q102: z-order report is scan → codegen'd bit math → partial+" +
+      "final agg with ONE exchange — no join, no window, no UDF") {
+    val plan = formatted(graft.ops.MaintenanceOps.zorderReport(spark, sf0001))
+    assert("Scan parquet".r.findAllIn(plan).length <= 2, "one scan")
+    assert("Exchange ".r.findAllIn(plan).length <= 2, "one exchange")
+    assert("HashAggregate".r.findAllIn(plan).length >= 4, "partial+final")
+    assert(!plan.contains("Join") && !plan.contains("Window"))
+    // '*(n)' is the executed-plan codegen-stage marker: the z bit math
+    // must live inside a whole-stage codegen span, not eval'd rows.
+    // AQE finalizes the physical plan only on execution — collect()
+    // drives THIS df's QueryExecution (count() would plan a new one)
+    val df = graft.ops.MaintenanceOps.zorderReport(spark, sf0001)
+    df.collect()
+    val executed = df.queryExecution.executedPlan.toString
+    assert(executed.contains("*(1)"), s"not codegen'd:\n$executed")
+  }
+
+  test("runtime bloom filter: Spark's InjectRuntimeFilter fires on the " +
+      "selective-dim shuffle join shape (the 100 TB scan-pruning path)") {
+    // AQE/broadcast off so the join shuffles; thresholds opened so the
+    // tiny test tables qualify — restore EVERY conf to its prior value
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val orders = spark.read
+        .parquet(s"$sf0001/orders.parquet")
+        .where(org.apache.spark.sql.functions.col("o_orderpriority") ===
+          "1-URGENT")
+      val lineitem = spark.read.parquet(s"$sf0001/lineitem.parquet")
+      val joined = lineitem.join(orders,
+        lineitem("l_orderkey") === orders("o_orderkey"))
+      val optimized = joined.queryExecution.optimizedPlan.toString
+      assert(optimized.contains("might_contain") ||
+        optimized.contains("BloomFilter"),
+        s"runtime filter not injected:\n${optimized.take(2000)}")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
